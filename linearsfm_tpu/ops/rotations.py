@@ -1,0 +1,97 @@
+"""Rotation kernels: Euler (YPR) <-> rotation matrix, reference convention.
+
+The reference parameterizes a pose as ``(t, alpha, beta, gamma)`` with
+``R = Rx(gamma) @ Ry(beta) @ Rz(alpha)`` (lmj_RMatrixYPR22,
+/root/reference/linux/src/LinearSFMImp/LinearSFMImp.cpp:132-143) and extracts
+Euler angles with atan2 chains (lmj_InvRotMatrixYPR22 :162-177 and the
+transposed variant :145-160).
+
+All functions are written for autodiff: derivatives of `r_to_euler` through
+`jax.jacfwd` reproduce the reference's hand-derived chain rules
+(lmj_dRi :282-307, lmj_dRiTT :309-334) because the `/cos(beta)` factors are
+kept *inside* the atan2 arguments (atan2 is scale-invariant in its gradient,
+but the sign of the scaling selects the correct branch).
+
+Everything is shape-polymorphic over leading batch dims via vmap-friendly
+scalar cores.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# The reference uses PI = 3.1415926 (LinearSFMImp.h:57) for wraparound only.
+REF_PI = 3.1415926
+
+
+def euler_to_r(abg: jax.Array) -> jax.Array:
+    """[..., 3] (alpha, beta, gamma) -> [..., 3, 3] rotation matrix.
+
+    Row-major layout identical to lmj_RMatrixYPR22 (LinearSFMImp.cpp:132-143).
+    """
+    a, b, g = abg[..., 0], abg[..., 1], abg[..., 2]
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    cg, sg = jnp.cos(g), jnp.sin(g)
+    r0 = jnp.stack([cb * ca, cb * sa, -sb], axis=-1)
+    r1 = jnp.stack([sg * sb * ca - cg * sa, sg * sb * sa + cg * ca, sg * cb], axis=-1)
+    r2 = jnp.stack([cg * sb * ca + sg * sa, cg * sb * sa - sg * ca, cg * cb], axis=-1)
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def _euler_from_entries(r01, r00, r02, r12, r22, r10, r11):
+    """Shared atan2 chain. Entry names follow (row, col) of R.
+
+    beta  = atan2(-R[0,2], sqrt(R[0,0]^2 + R[0,1]^2))
+    alpha = atan2(R[0,1]/cb, R[0,0]/cb);  gamma = atan2(R[1,2]/cb, R[2,2]/cb)
+    Singular branch (cos beta == 0): alpha = 0, beta = pi/2,
+    gamma = atan2(R[0,1], R[1,1]) — bug-compatible with the reference, which
+    sets beta = +pi/2 regardless of sign (LinearSFMImp.cpp:166-171).
+    """
+    beta = jnp.arctan2(-r02, jnp.sqrt(r00 * r00 + r01 * r01))
+    cb = jnp.cos(beta)
+    # Guard the division for the (measure-zero) singular branch so that no NaN
+    # pollutes the non-taken side of jnp.where under autodiff.
+    safe_cb = jnp.where(jnp.abs(cb) < 1e-30, 1.0, cb)
+    alpha = jnp.arctan2(r01 / safe_cb, r00 / safe_cb)
+    gamma = jnp.arctan2(r12 / safe_cb, r22 / safe_cb)
+    singular = jnp.abs(cb) < 1e-30
+    alpha = jnp.where(singular, 0.0, alpha)
+    beta = jnp.where(singular, jnp.pi / 2, beta)
+    gamma = jnp.where(singular, jnp.arctan2(r01, r11), gamma)
+    return jnp.stack([alpha, beta, gamma], axis=-1)
+
+
+def r_to_euler(R: jax.Array) -> jax.Array:
+    """[..., 3, 3] -> [..., 3]; inverse of euler_to_r (lmj_InvRotMatrixYPR22)."""
+    return _euler_from_entries(
+        R[..., 0, 1], R[..., 0, 0], R[..., 0, 2],
+        R[..., 1, 2], R[..., 2, 2], R[..., 1, 0], R[..., 1, 1],
+    )
+
+
+def r_to_euler_t(R: jax.Array) -> jax.Array:
+    """Euler angles of R^T given R (lmj_InvRotMatrixYPR22T, :145-160)."""
+    return r_to_euler(jnp.swapaxes(R, -1, -2))
+
+
+def compose_rrt(R1: jax.Array, R2: jax.Array) -> jax.Array:
+    """R1 @ R2^T (lmj_TimesRRT, :336-347)."""
+    return jnp.einsum("...ik,...jk->...ij", R1, R2)
+
+
+def wrap_angle_pi(x: jax.Array) -> jax.Array:
+    """Wrap into (-REF_PI, REF_PI] following the reference's truncation-based
+    wraparound (LinearSFMImp.cpp:7433-7457): while |x| > pi subtract/add 2*pi
+    computed via integer truncation of x/(2*pi)."""
+    two_pi = 2.0 * REF_PI
+    k = jnp.trunc(x / two_pi)
+    x = x - jnp.where(x > REF_PI, (k + 1) * two_pi, jnp.where(x < -REF_PI, (k - 1) * two_pi, 0.0))
+    return x
+
+
+def wrap_angle_diff(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """Shift x by +-2*pi so that x - ref lies in [-pi, pi] (LinearSFMImp.cpp:7459-7464)."""
+    d = x - ref
+    return x + jnp.where(d > REF_PI, -2.0 * REF_PI, jnp.where(d < -REF_PI, 2.0 * REF_PI, 0.0))

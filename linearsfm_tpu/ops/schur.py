@@ -1,0 +1,143 @@
+"""Information-form fusion solve: feature-Schur complement on the MXU.
+
+Mirrors the semantics of lmj_solveLinearSFMStereo
+(/root/reference/linux/src/LinearSFMImp/LinearSFMImp.cpp:2119-2378) and
+lmj_solveLinearSFMMono (:6756-7041) but TPU-first:
+
+* ``V^{-1}``: batched closed-form symmetric 3x3 inverse (pba_inverseV :3022).
+* ``S = U - W V^{-1} W^T``: scatter-add of U blocks plus per-feature grouped
+  outer products, assembled densely as [6M, 6M] — every non-root join in the
+  bundled datasets fits comfortably; the root joins use the same code at
+  f32-with-refinement precision (see solve.py).
+* ``E = eP - W V^{-1} eF`` (:2320-2328).
+* Mono gauge elimination: instead of deleting the 7 gauge rows/cols
+  (:6981-7021), mask them to identity rows with zero RHS — numerically
+  identical, shape-static.
+* Feature back-substitution ``x_f = V^{-1}(eF_f - W^T x_p)``
+  (pba_solveFeatures :2980-3020).
+
+All functions take zero-padded block lists (padding contributes nothing).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def inv3x3_sym(V: jax.Array) -> jax.Array:
+    """Batched closed-form inverse of 3x3 blocks, symmetrized on output
+    (pba_inverseV symmetrizes too, LinearSFMImp.cpp:3035-3040).
+
+    Padding guard: blocks that are exactly zero return zero (pseudo-inverse
+    of the zero block), so padded features stay inert.
+    """
+    a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    d, e, f = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
+    # cofactors of the symmetrized matrix
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    det = a * A + b * B + c * C
+    zero = det == 0
+    inv_det = jnp.where(zero, 0.0, 1.0 / jnp.where(zero, 1.0, det))
+    row0 = jnp.stack([A, B, C], axis=-1)
+    row1 = jnp.stack([B, D, E], axis=-1)
+    row2 = jnp.stack([C, E, F], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+
+
+def info_vector(poses, feats, U, Uij, W, Wpf, V):
+    """(eP[M,6], eF[N,3]) = I @ x, accumulated blockwise like the join loops
+    (LinearSFMImp.cpp:2669-2907)."""
+    M, N = poses.shape[0], feats.shape[0]
+    ui, uj = Uij[:, 0], Uij[:, 1]
+    wp, wf = Wpf[:, 0], Wpf[:, 1]
+    offd = (ui != uj)[:, None]
+
+    eP = jax.ops.segment_sum(jnp.einsum("kij,kj->ki", U, poses[uj]), ui, M)
+    eP += jax.ops.segment_sum(
+        jnp.where(offd, jnp.einsum("kji,kj->ki", U, poses[ui]), 0.0), uj, M)
+    eP += jax.ops.segment_sum(jnp.einsum("kif,kf->ki", W, feats[wf]), wp, M)
+
+    eF = jnp.einsum("nij,nj->ni", V, feats)
+    eF += jax.ops.segment_sum(jnp.einsum("kif,ki->kf", W, poses[wp]), wf, N)
+    return eP, eF
+
+
+def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
+    """Static-shape grouping of W entries by feature.
+
+    Returns (entry_idx[N, max_obs], valid[N, max_obs]) where entry_idx selects
+    W rows for each feature (arbitrary order), padded with 0.
+
+    `entry_valid[KW]` masks padding entries (they would otherwise crowd the
+    bucket of feature 0, whose slot index padding reuses). Entries beyond
+    `max_obs` per feature are silently dropped — callers must size `max_obs`
+    from host-side metadata (see core/plan.py).
+
+    Works on traced arrays: rank-within-feature is computed by sorting.
+    """
+    KW = Wpf.shape[0]
+    f = Wpf[:, 1]
+    if entry_valid is not None:
+        f = jnp.where(entry_valid, f, N)  # route pads to a dummy bucket
+    # stable sort by feature; rank within each feature = position - first pos
+    order = jnp.argsort(f, stable=True)
+    fs = f[order]
+    pos = jnp.arange(KW)
+    # first occurrence index of each feature value in sorted array
+    first = jax.ops.segment_min(pos, fs, num_segments=N + 1)
+    rank = pos - first[fs]
+    ok = (rank < max_obs) & (fs < N)
+    col = jnp.where(ok, rank, 0)
+    row = jnp.where(ok, fs, N)
+    entry = jnp.zeros((N + 1, max_obs), jnp.int32)
+    entry = entry.at[row, col].set(jnp.where(ok, order, 0).astype(jnp.int32), mode="drop")
+    valid = jnp.zeros((N + 1, max_obs), bool)
+    valid = valid.at[row, col].set(ok, mode="drop")
+    return entry[:N], valid[:N]
+
+
+def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int):
+    """Dense reduced camera system: S[6M,6M], E[6M].
+
+    S = scatter(U) - sum_f W_f Vinv_f W_f^T, grouped per feature with a static
+    max-observation bound (matches the reference's per-feature double loop,
+    LinearSFMImp.cpp:2244-2332).
+    """
+    N = Vinv.shape[0]
+    dtype = U.dtype
+    ui, uj = Uij[:, 0], Uij[:, 1]
+    wp, wf = Wpf[:, 0], Wpf[:, 1]
+
+    S = jnp.zeros((M, 6, M, 6), dtype)
+    S = S.at[ui, :, uj, :].add(U)
+    S = S.at[uj, :, ui, :].add(jnp.where((ui != uj)[:, None, None], jnp.swapaxes(U, 1, 2), 0.0))
+
+    # Entries with an exactly-zero block (padding or dropped couplings)
+    # contribute nothing; exclude them so they don't crowd feature buckets.
+    entry_valid = jnp.any(W != 0, axis=(1, 2))
+    entry, valid = group_by_feature(Wpf, N, max_obs, entry_valid=entry_valid)
+    Wg = W[entry] * valid[..., None, None]          # [N, O, 6, 3]
+    pg = wp[entry]                                  # [N, O]
+    Yg = jnp.einsum("nofk,nkl->nofl", Wg, Vinv)     # W V^-1
+    C = jnp.einsum("nofk,npgk->nopfg", Yg, Wg)      # [N, O, O, 6, 6]
+    po = jnp.broadcast_to(pg[:, :, None], C.shape[:3])
+    pp = jnp.broadcast_to(pg[:, None, :], C.shape[:3])
+    S = S.at[po.reshape(-1), :, pp.reshape(-1), :].add(-C.reshape(-1, 6, 6))
+
+    Y = jnp.einsum("kiz,kzf->kif", W, Vinv[wf])      # W V^-1 per entry
+    E = eP - jax.ops.segment_sum(jnp.einsum("kif,kf->ki", Y, eF[wf]), wp, M)
+    return S.reshape(6 * M, 6 * M), E.reshape(6 * M)
+
+
+def backsub_features(W, Wpf, Vinv, eF, x_poses):
+    """x_f = Vinv_f (eF_f - sum W^T x_p) (pba_solveFeatures)."""
+    N = Vinv.shape[0]
+    wp, wf = Wpf[:, 0], Wpf[:, 1]
+    wtx = jax.ops.segment_sum(jnp.einsum("kif,ki->kf", W, x_poses[wp]), wf, N)
+    return jnp.einsum("nij,nj->ni", Vinv, eF - wtx)
