@@ -1,0 +1,82 @@
+"""Reference-compatible command line.
+
+Same flags as the reference binary (lmj_parseArgs,
+/root/reference/linux/src/LinearSFMImp/LinearSFMImp.cpp:7989-8106):
+
+    python -m linearsfm_tpu.cli -path DATA -num N -type {Monocular,Stereo}
+                                [-st state.txt] [-p pose.txt] [-f feat.txt]
+
+plus TPU-native extensions: --method {direct,refine}, --cpu, --quiet.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _print_help():
+    print("Linear SFM (TPU) General Options\n")
+    print("-path          Set Data Path.")
+    print("-st            Set Path to Save Final State Vector")
+    print("-p             Set Path to Save Poses")
+    print("-f             Set Path to Save Features")
+    print("-num           Number of Initial Reconstruction")
+    print("-type          Set Data Type: Monocular | Stereo")
+    print("--method       Solver precision: direct | refine (f32+refinement)")
+    print("--cpu          Force CPU backend")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    opts = {"path": None, "st": None, "p": None, "f": None, "num": None,
+            "type": None, "method": "direct", "cpu": False, "quiet": False}
+    i = 0
+    while i < len(argv):
+        name = argv[i].lstrip("-")
+        if name == "help":
+            _print_help()
+            return 0
+        if name in ("cpu", "quiet"):
+            opts[name] = True
+            i += 1
+            continue
+        if name not in opts:
+            print(f"LinearSFM Error: unknown flag -{name}")
+            return 1
+        i += 1
+        if i >= len(argv):
+            print(f"LinearSFM Error: flag -{name} needs a value")
+            return 1
+        opts[name] = argv[i]
+        i += 1
+
+    if not opts["path"]:
+        print("LinerSFM Error: Please Input Right File Path:")
+        return 1
+    if not opts["num"]:
+        print("LinerSFM Error: Please Set Local Map Number:")
+        return 1
+    if opts["type"] not in ("Monocular", "Stereo"):
+        print("LinerSFM Error: Please Set Data Type:")
+        return 1
+
+    import jax
+    if opts["cpu"]:
+        jax.config.update("jax_platforms", "cpu")
+
+    import logging
+    logging.basicConfig(level=logging.WARNING if opts["quiet"] else logging.INFO,
+                        format="%(message)s")
+
+    from .core import pipeline
+    datatype = "mono" if opts["type"] == "Monocular" else "stereo"
+    final, wall = pipeline.run(
+        opts["path"], int(opts["num"]), datatype,
+        st_path=opts["st"], pose_path=opts["p"], feat_path=opts["f"],
+        method=opts["method"], progress=not opts["quiet"])
+    print(f"Total Used Time:  {wall:f}  sec")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

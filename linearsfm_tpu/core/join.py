@@ -38,6 +38,12 @@ class JoinConfig(NamedTuple):
     max_obs: int = 8          # max W entries per feature in the Schur grouping
     method: str = "direct"    # "direct" | "refine"
     refine_iters: int = 3
+    # Mono scale-pin conditioning. "sign": condition the solve on the pinned
+    # coordinate's actual value (E -= S[:,fix]*sign) — exact constrained
+    # fusion. "zero": drop the column like the reference
+    # (LinearSFMImp.cpp:6994-7021), exact only when the pinned coordinate has
+    # no information coupling (true for the reference's datasets).
+    pin: str = "sign"
 
 
 def _match_features(end_ids, end_valid, cur_ids, cur_valid, n1, out_cap):
@@ -210,15 +216,24 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     fixed = ~jnp.repeat(pose_valid, 6)
     coord = jnp.arange(Mo * 6)
     fixed |= (coord >= 6 * pos1) & (coord < 6 * pos1 + 6)   # reference block
-    fixed |= coord == 6 * pos2 + fix                        # pinned scale coord
+    fixc = 6 * pos2 + fix
+    fixed |= coord == fixc                                  # pinned scale coord
+    if cfg.pin == "sign":
+        E = E - jnp.take(S, fixc, axis=1) * end.gauge.sign.astype(dtype)
     x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,
                             refine_iters=cfg.refine_iters)
     xp = x.reshape(Mo, 6)
-    # Feature back-substitution runs with the pinned coordinate still at 0;
-    # stVal[Fix] = Sign only afterwards (reference order, :7010-7026).
-    xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
     sign = end.gauge.sign.astype(dtype)
-    xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
+    if cfg.pin == "sign":
+        # exact constrained fusion: back-substitute with the pinned coordinate
+        # at its actual value
+        xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
+        xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
+    else:
+        # reference order: backsub with the pinned coordinate still at 0,
+        # stVal[Fix] = Sign afterwards (:7010-7026)
+        xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
+        xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
 
     return types.LocalMap(
         pose_ids=pose_ids, poses=xp, feat_ids=feat_ids, feats=xf,

@@ -1,0 +1,51 @@
+"""Top-level pipeline: load local maps, run the merge tree, save results.
+
+Mirrors runStereo/runMono
+(/root/reference/linux/src/LinearSFMImp/LinearSFMImp.cpp:97-112, :3136-3152).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+from .. import types
+from ..io import localmap as lio
+from .tree import TreeSolver
+
+log = logging.getLogger("linearsfm_tpu")
+
+
+def load_local_maps(path: str, num: int, datatype: str) -> list[types.LocalMap]:
+    """Load `localmap_1.txt` .. `localmap_<num>.txt` (lmj_loadLocalMaps*)."""
+    return [lio.read_local_map(os.path.join(path, f"localmap_{i + 1}.txt"), datatype)
+            for i in range(num)]
+
+
+def run(path: str, num: int, datatype: str,
+        st_path: str | None = None, pose_path: str | None = None,
+        feat_path: str | None = None, method: str = "direct",
+        progress: bool = True, solver: TreeSolver | None = None):
+    """Full run; returns (final LocalMap, wall_seconds)."""
+    maps = load_local_maps(path, num, datatype)
+    solver = solver or TreeSolver(datatype, method=method, progress=progress)
+    t0 = time.time()
+    final = solver.run(maps)
+    wall = time.time() - t0
+    log.info("Total Used Time:  %f  sec", wall)
+
+    ids = np.asarray(final.pose_ids)
+    poses = np.asarray(final.poses)
+    fids = np.asarray(final.feat_ids)
+    feats = np.asarray(final.feats)
+    pv, fv = ids >= 0, fids >= 0
+    if st_path:
+        lio.write_state(st_path, ids[pv], poses[pv], fids[fv], feats[fv])
+    if pose_path:
+        lio.write_poses(pose_path, ids[pv], poses[pv])
+    if feat_path:
+        lio.write_features(feat_path, fids[fv], feats[fv])
+    return final, wall

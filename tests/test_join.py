@@ -36,10 +36,13 @@ def _dense_fuse(maps, slot_of_pose, slot_of_feat, Mo, No, drop_pose_slots=(),
         keep[6 * s:6 * s + 6] = False
     for s in drop_feat_slots:
         keep[6 * Mo + 3 * s: 6 * Mo + 3 * s + 3] = False
-    for c in fixed_coords:
+    for c, v in fixed_coords:
         keep[c] = False
+        e_tot = e_tot - I_tot[:, c] * v  # condition on the pinned value
     xs = np.zeros(d)
     xs[keep] = np.linalg.solve(I_tot[np.ix_(keep, keep)], e_tot[keep])
+    for c, v in fixed_coords:
+        xs[c] = v
     return xs
 
 
@@ -129,10 +132,9 @@ def test_join_mono_matches_dense():
         [(dropped(a), pmap_a, fmap_a), (dropped(b), pmap_b, fmap_b)],
         None, None, out.M, out.N,
         drop_pose_slots=[ref_union] + [i for i in range(out.M) if ids_out[i] < 0],
-        fixed_coords=[6 * scap_union + 2],
+        fixed_coords=[(6 * scap_union + 2, 1.0)],  # pinned at sign=+1
         drop_feat_slots=[f for f in range(out.N) if fids_out[f] < 0],
     )
-    xs[6 * scap_union + 2] = 1.0  # sign
 
     got_p = np.asarray(out.poses).reshape(-1)
     np.testing.assert_allclose(got_p, xs[:6 * out.M], atol=1e-8)
