@@ -50,7 +50,8 @@ class TreeSolver:
 
     def __init__(self, datatype: str, method: str = "direct",
                  refine_iters: int = 3, bucket: int = 16, u_bucket: int = 64,
-                 progress: bool = False, strategy: str = "level", mesh=None):
+                 progress: bool = False, strategy: str = "level", mesh=None,
+                 pin: str = "sign"):
         assert datatype in ("stereo", "mono")
         self.datatype = datatype
         self.method = method
@@ -60,6 +61,7 @@ class TreeSolver:
         self.progress = progress
         self.strategy = strategy
         self.mesh = mesh
+        self.pin = pin
         self._jit_cache: dict = {}
         self.join_count = 0
 
@@ -82,7 +84,7 @@ class TreeSolver:
     def _join(self, end: types.LocalMap, cur: types.LocalMap, max_obs: int
               ) -> types.LocalMap:
         cfg = join_mod.JoinConfig(max_obs=max_obs, method=self.method,
-                                  refine_iters=self.refine_iters)
+                                  refine_iters=self.refine_iters, pin=self.pin)
         key = ("j", self._sig(end, cur), cfg)
         if key not in self._jit_cache:
             f = join_mod.join_stereo if self.datatype == "stereo" else join_mod.join_mono
@@ -122,7 +124,7 @@ class TreeSolver:
     def _level_fn(self, sig, max_obs: int):
         from ..parallel import level as plevel
         cfg = join_mod.JoinConfig(max_obs=max_obs, method=self.method,
-                                  refine_iters=self.refine_iters)
+                                  refine_iters=self.refine_iters, pin=self.pin)
         key = ("lvl", sig, cfg)
         if key not in self._jit_cache:
             one = (plevel.merge_one_stereo if self.datatype == "stereo"

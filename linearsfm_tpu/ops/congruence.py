@@ -185,11 +185,32 @@ def transform_map_mono(lm: types.LocalMap, new_ref_id, new_scap_id, new_fix) -> 
     C2p = jnp.concatenate([C2p3, jnp.zeros_like(C2p3)], axis=2)
     C2f = jnp.concatenate([C2f3, jnp.zeros_like(C2f3)], axis=2)
 
-    # Folds at the gauge rows (LinearSFMImp.cpp:3495-3507 and the pos4 analog).
+    # Folds at the gauge rows (LinearSFMImp.cpp:3495-3525, :3558-3569).
     Dp = Dp.at[r_slot].add(Cp[r_slot])
     Cp = Cp.at[r_slot].set(0.0)
     Dp = Dp.at[s_slot].add(C2p[s_slot])
     C2p = C2p.at[s_slot].set(0.0)
+
+    # Gauge-conditioning projection (LinearSFMImp.cpp:3691-3710): zero every
+    # J column belonging to a NEW gauge coordinate, so the transformed
+    # information carries exactly zero rows/cols there — the new map's gauge
+    # constraints (ref = 0, scap[fix] = +-1) are conditioned on, which is what
+    # makes the solver's later row-deletion exact.
+    p1 = jnp.argmax(lm.pose_ids == jnp.asarray(new_ref_id, jnp.int32))
+    p2 = jnp.argmax(lm.pose_ids == jnp.asarray(new_scap_id, jnp.int32))
+    fixv = jnp.asarray(new_fix, jnp.int32)
+    Dp = Dp.at[p1].set(0.0)                                   # new ref block
+    Dp = Dp.at[p2, :, :].set(
+        jnp.where(jnp.arange(6)[None, :] == fixv, 0.0, Dp[p2]))  # scap fix col
+    colfix = jnp.arange(6)[None, None, :] == fixv
+    Cp = jnp.where(r_slot == p2, jnp.where(colfix, 0.0, Cp), Cp)
+    Cf = jnp.where(r_slot == p2, jnp.where(colfix, 0.0, Cf), Cf)
+    Cp = jnp.where(r_slot == p1, 0.0, Cp)
+    Cf = jnp.where(r_slot == p1, 0.0, Cf)
+    C2p = jnp.where(s_slot == p2, jnp.where(colfix, 0.0, C2p), C2p)
+    C2f = jnp.where(s_slot == p2, jnp.where(colfix, 0.0, C2f), C2f)
+    C2p = jnp.where(s_slot == p1, 0.0, C2p)                   # J3 kill (:3709)
+    C2f = jnp.where(s_slot == p1, 0.0, C2f)
 
     em = congruence_emit(lm.U, lm.Uij, lm.W, lm.Wpf, lm.V, Dp, Df, Cp, Cf,
                          r_slot, C2p=C2p, C2f=C2f, s_slot=s_slot)

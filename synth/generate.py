@@ -182,9 +182,15 @@ def make_stereo_map(k, poses_gt, feats_gt, owner, feats_per_pose,
 
 
 def make_mono_map(k, poses_gt, feats_gt, owner, feats_per_pose,
-                  noise=0.0, rng=None, prior_w=100.0):
+                  noise=0.0, rng=None, prior_w=100.0, pin_row="zero"):
     """Mono map k: explicit poses {k,k+1,k+2}, ref=k (zero info), scap=k+1,
-    scale-normalized so |t_{k+1}[fix]| = 1."""
+    scale-normalized so |t_{k+1}[fix]| = 1.
+
+    pin_row="zero" (default) stores the reduced local-BA Hessian: the pinned
+    coordinate's information row/column is zeroed (the pin removed it from the
+    local optimization), matching what the reference's gauge handling assumes
+    (it deletes that row without a conditioning correction,
+    LinearSFMImp.cpp:6994-7021). pin_row="keep" leaves the raw Hessian."""
     rng = rng or np.random.default_rng(k)
     pose_local, feat_local = _local_frame(poses_gt, k)
     p1, p2 = pose_local(k + 1), pose_local(k + 2)
@@ -221,6 +227,13 @@ def make_mono_map(k, poses_gt, feats_gt, owner, feats_per_pose,
             W.append(Hpf)
             Wpf.append((slot, fi))
             V[fi] = V[fi] + Hff
+    if pin_row == "zero":
+        # scap is pose slot 1 -> U[0]; zero the pinned coordinate's row/col
+        U[0][fix, :] = 0.0
+        U[0][:, fix] = 0.0
+        for w_i, (slot, fi) in zip(W, Wpf):
+            if slot == 1:
+                w_i[fix, :] = 0.0
     return SynthMap(pose_ids, poses, feat_ids, feats,
                     np.array(U), np.array(Uij), np.array(W), np.array(Wpf),
                     np.array(V), dict(type="mono", ref=k, scap=k + 1,

@@ -85,13 +85,23 @@ def test_mono_congruence_matches_dense():
     rng = np.random.default_rng(6)
     lm = H.random_mono_map(rng, M=5, N=7, pose_id0=0, fix=2)
     I_old = H.densify_info(lm)
-    out = C.transform_map_mono(lm, 2, 3, 0)
+    new_ref, new_scap, new_fix = 2, 3, 0
+    out = C.transform_map_mono(lm, new_ref, new_scap, new_fix)
 
     ids = np.asarray(out.pose_ids)
     r_slot = int(np.argmax(ids == 0))   # old ref id
     s_slot = int(np.argmax(ids == 1))   # old scap id
-    I_expect = _dense_congruence(
-        out, H.full_state_map_mono, (lm.M, lm.N, r_slot, s_slot, 2), I_old)
+    x_new = H.state_vector(out)
+    J = np.array(jax.jacfwd(
+        lambda x: H.full_state_map_mono(x, lm.M, lm.N, r_slot, s_slot, 2)
+    )(jnp.asarray(x_new)))
+    # gauge-conditioning projection: the reference zeroes the J columns of
+    # the NEW gauge coordinates (LinearSFMImp.cpp:3691-3710)
+    p1 = int(np.argmax(ids == new_ref))
+    p2 = int(np.argmax(ids == new_scap))
+    J[:, 6 * p1:6 * p1 + 6] = 0.0
+    J[:, 6 * p2 + new_fix] = 0.0
+    I_expect = J.T @ I_old @ J
     I_got = H.densify_info(out)
     np.testing.assert_allclose(I_got, I_expect, atol=1e-7, rtol=1e-7)
 
