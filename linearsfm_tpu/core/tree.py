@@ -160,10 +160,18 @@ class TreeSolver:
         return plevel.unstack_maps(out)[:npair]
 
     # -- full tree -----------------------------------------------------------
-    def run(self, maps: list[types.LocalMap]) -> types.LocalMap:
+    def run(self, maps: list[types.LocalMap], ckpt_dir: str | None = None,
+            resume: bool = False, metrics=None) -> types.LocalMap:
+        level = 0
+        if resume and ckpt_dir:
+            from ..utils import checkpoint as ckpt
+            state = ckpt.latest(ckpt_dir)
+            if state is not None:
+                level, maps = state
+                log.info("resuming from checkpoint level %d (%d maps)",
+                         level, len(maps))
         maps = [compact_mod.compact(lm, self.bucket, self.u_bucket) for lm in maps]
         count = len(maps)
-        level = 0
         t0 = time.time()
         while count > 1:
             nxt = (count + 1) // 2
@@ -185,6 +193,12 @@ class TreeSolver:
             maps = out
             count = nxt
             level += 1
+            if metrics is not None:
+                metrics.record(level, count, npair,
+                               M=maps[0].M, N=maps[0].N)
+            if ckpt_dir:
+                from ..utils import checkpoint as ckpt
+                ckpt.save_level(ckpt_dir, level, maps)
             if self.progress:
                 log.info("Level %d done (%d maps, %.2fs)", level, count, time.time() - t0)
         g = self.regauge_to_final(maps[0])
