@@ -55,7 +55,32 @@ class _Stream:
 
 
 def read_local_map(path: str, datatype: str, dtype=np.float64) -> types.LocalMap:
-    """Parse one localmap_<i>.txt into a LocalMap."""
+    """Parse one localmap_<i>.txt into a LocalMap.
+
+    Uses the native C tokenizer (native/fastparse.c) when available, with the
+    pure-Python stream as fallback.
+    """
+    from ..native import get_fastparse
+    fp = get_fastparse()
+    if fp is not None:
+        (hdr, stno, stval, dims, U, Ui, Uj, W, photo, feature, V,
+         _fblock) = fp.parse(path, datatype == "mono")
+        ref, scap, fix, sign = (int(v) for v in hdr)
+        m, n = (int(v) for v in dims)
+        pose_ids = -stno[0:6 * m:6]
+        feat_ids = stno[6 * m::3]
+        poses = stval[:6 * m].reshape(m, 6)
+        feats = stval[6 * m:].reshape(n, 3)
+        if datatype == "mono":
+            gauge = types.Gauge.mono(ref, scap, fix, sign)
+        else:
+            gauge = types.Gauge.stereo(ref)
+        return types.make_local_map(
+            pose_ids, poses, feat_ids, feats,
+            U.reshape(-1, 6, 6), np.stack([Ui, Uj], 1),
+            W.reshape(-1, 6, 3), np.stack([photo, feature], 1),
+            V.reshape(-1, 3, 3), gauge, dtype=dtype)
+
     s = _Stream(path)
     if datatype == "mono":
         ref, scap, fix, sign = s.int1(), s.int1(), s.int1(), s.int1()

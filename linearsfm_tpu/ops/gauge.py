@@ -35,7 +35,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rotations import euler_to_r, r_to_euler, r_to_euler_t
+from .rotations import (euler_to_r, mat3_mul_t, mat3_vec,
+                        r_to_euler, r_to_euler_t)
 
 
 # --------------------------------------------------------------------------
@@ -48,21 +49,21 @@ def invpose(g: jax.Array) -> jax.Array:
     Reference: LinearSFMImp.cpp:427-431.
     """
     t, R = g[0:3], euler_to_r(g[3:6])
-    return jnp.concatenate([-(R @ t), r_to_euler_t(R)])
+    return jnp.concatenate([-mat3_vec(R, t), r_to_euler_t(R)])
 
 
 def stereo_pose_block(x: jax.Array, g: jax.Array) -> jax.Array:
     """Generic pose re-expression in g's frame (LinearSFMImp.cpp:435-442)."""
     t, R = g[0:3], euler_to_r(g[3:6])
-    tp = R @ (x[0:3] - t)
-    ang = r_to_euler(euler_to_r(x[3:6]) @ R.T)
+    tp = mat3_vec(R, x[0:3] - t)
+    ang = r_to_euler(mat3_mul_t(euler_to_r(x[3:6]), R))
     return jnp.concatenate([tp, ang])
 
 
 def stereo_feat_block(x: jax.Array, g: jax.Array) -> jax.Array:
     """Feature re-expression (LinearSFMImp.cpp:449-451)."""
     t, R = g[0:3], euler_to_r(g[3:6])
-    return R @ (x - t)
+    return mat3_vec(R, x - t)
 
 
 def mono_scale(g: jax.Array, s: jax.Array, fix: jax.Array):
@@ -72,7 +73,7 @@ def mono_scale(g: jax.Array, s: jax.Array, fix: jax.Array):
     sign(0) := +1 (LinearSFMImp.cpp:3235-3244).
     """
     t, R = g[0:3], euler_to_r(g[3:6])
-    ts = R @ (s - t)
+    ts = mat3_vec(R, s - t)
     tsf = jnp.take(ts, fix)
     sign = jnp.where(tsf >= 0, 1.0, -1.0)
     return tsf * sign, sign
@@ -82,15 +83,15 @@ def mono_pose_block(x: jax.Array, g: jax.Array, s: jax.Array, fix: jax.Array) ->
     """Mono pose re-expression incl. scale normalisation (LinearSFMImp.cpp:3273-3280)."""
     t, R = g[0:3], euler_to_r(g[3:6])
     scale, _ = mono_scale(g, s, fix)
-    tp = (R @ (x[0:3] - t)) / scale
-    ang = r_to_euler(euler_to_r(x[3:6]) @ R.T)
+    tp = mat3_vec(R, x[0:3] - t) / scale
+    ang = r_to_euler(mat3_mul_t(euler_to_r(x[3:6]), R))
     return jnp.concatenate([tp, ang])
 
 
 def mono_feat_block(x: jax.Array, g: jax.Array, s: jax.Array, fix: jax.Array) -> jax.Array:
     t, R = g[0:3], euler_to_r(g[3:6])
     scale, _ = mono_scale(g, s, fix)
-    return (R @ (x - t)) / scale
+    return mat3_vec(R, x - t) / scale
 
 
 # --------------------------------------------------------------------------

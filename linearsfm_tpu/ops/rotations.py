@@ -76,9 +76,30 @@ def r_to_euler_t(R: jax.Array) -> jax.Array:
     return r_to_euler(jnp.swapaxes(R, -1, -2))
 
 
+# Tiny 3x3 products as explicit broadcast-multiply-sums: on the axon TPU,
+# dot_general with a broadcast operand (the common vmap in_axes=(0,None)
+# pattern) silently drops to ~f32 accuracy even at highest precision, while
+# elementwise VPU arithmetic stays true f64 — and avoids MXU dispatch for
+# 3x3-sized work entirely.
+
+def mat3_vec(R: jax.Array, v: jax.Array) -> jax.Array:
+    """[..., 3, 3] @ [..., 3] -> [..., 3]."""
+    return jnp.sum(R * v[..., None, :], axis=-1)
+
+
+def mat3_mul(A: jax.Array, B: jax.Array) -> jax.Array:
+    """[..., 3, 3] @ [..., 3, 3]."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def mat3_mul_t(A: jax.Array, B: jax.Array) -> jax.Array:
+    """A @ B^T for [..., 3, 3] operands."""
+    return jnp.sum(A[..., :, None, :] * B[..., None, :, :], axis=-1)
+
+
 def compose_rrt(R1: jax.Array, R2: jax.Array) -> jax.Array:
     """R1 @ R2^T (lmj_TimesRRT, :336-347)."""
-    return jnp.einsum("...ik,...jk->...ij", R1, R2)
+    return mat3_mul_t(R1, R2)
 
 
 def wrap_angle_pi(x: jax.Array) -> jax.Array:
