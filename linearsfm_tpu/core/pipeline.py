@@ -28,12 +28,24 @@ def load_local_maps(path: str, num: int, datatype: str) -> list[types.LocalMap]:
 def run(path: str, num: int, datatype: str,
         st_path: str | None = None, pose_path: str | None = None,
         feat_path: str | None = None, method: str = "direct",
-        progress: bool = True, solver: TreeSolver | None = None):
-    """Full run; returns (final LocalMap, wall_seconds)."""
+        progress: bool = True, solver: TreeSolver | None = None,
+        ckpt_dir: str | None = None, resume: bool = False,
+        trace_dir: str | None = None, metrics=None):
+    """Full run; returns (final LocalMap, wall_seconds).
+
+    trace_dir enables a jax.profiler trace of the solve (view in XProf).
+    """
     maps = load_local_maps(path, num, datatype)
     solver = solver or TreeSolver(datatype, method=method, progress=progress)
+    import jax
     t0 = time.time()
-    final = solver.run(maps)
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            final = solver.run(maps, ckpt_dir=ckpt_dir, resume=resume,
+                               metrics=metrics)
+    else:
+        final = solver.run(maps, ckpt_dir=ckpt_dir, resume=resume,
+                           metrics=metrics)
     wall = time.time() - t0
     log.info("Total Used Time:  %f  sec", wall)
 
