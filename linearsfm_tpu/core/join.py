@@ -38,6 +38,10 @@ class JoinConfig(NamedTuple):
     max_obs: int = 8          # max W entries per feature in the Schur grouping
     method: str = "direct"    # "direct" | "refine"
     refine_iters: int = 3
+    # Optional device mesh for feature-sharded Schur assembly (root joins);
+    # None = single-device path. Must not be combined with vmapped levels.
+    mesh: object | None = None
+    mesh_axis: str = "fs"
     # Mono scale-pin conditioning. "sign": condition the solve on the pinned
     # coordinate's actual value (E -= S[:,fix]*sign) — exact constrained
     # fusion. "zero": drop the column like the reference
@@ -111,15 +115,22 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
     eF = eF.at[joint2].add(eF2, mode="drop")
 
     # ---- Schur + solve -----------------------------------------------------
-    Vinv = schur.inv3x3_sym(V)
-    S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo, cfg.max_obs)
     n_poses = end.n_poses + cur.n_poses
     pose_valid = jnp.concatenate([end.pose_mask(), cur.pose_mask()])
     fixed = ~jnp.repeat(pose_valid, 6)
-    x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,
-                            refine_iters=cfg.refine_iters)
-    xp = x.reshape(Mo, 6)
-    xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
+    if cfg.mesh is not None:
+        from ..parallel import shard_solve
+        xp, xf = shard_solve.sharded_schur_solve(
+            U, Uij, W, Wpf, V, eP, eF, Mo, cfg.max_obs, cfg.mesh,
+            axis=cfg.mesh_axis, fixed_mask=fixed, method=cfg.method,
+            refine_iters=cfg.refine_iters)
+    else:
+        Vinv = schur.inv3x3_sym(V)
+        S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo, cfg.max_obs)
+        x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,
+                                refine_iters=cfg.refine_iters)
+        xp = x.reshape(Mo, 6)
+        xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
 
     return types.LocalMap(
         pose_ids=pose_ids, poses=xp, feat_ids=feat_ids, feats=xf,
@@ -209,8 +220,6 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     eF = eF.at[joint2].add(eF2, mode="drop")
 
     # ---- Schur + gauge-masked solve (:6981-7026) ---------------------------
-    Vinv = schur.inv3x3_sym(V)
-    S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo, cfg.max_obs)
     pose_valid = jnp.concatenate(
         [end.pose_mask(), cur.pose_mask() & ~dead2])
     fixed = ~jnp.repeat(pose_valid, 6)
@@ -218,22 +227,34 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     fixed |= (coord >= 6 * pos1) & (coord < 6 * pos1 + 6)   # reference block
     fixc = 6 * pos2 + fix
     fixed |= coord == fixc                                  # pinned scale coord
-    if cfg.pin == "sign":
-        E = E - jnp.take(S, fixc, axis=1) * end.gauge.sign.astype(dtype)
-    x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,
-                            refine_iters=cfg.refine_iters)
-    xp = x.reshape(Mo, 6)
     sign = end.gauge.sign.astype(dtype)
-    if cfg.pin == "sign":
-        # exact constrained fusion: back-substitute with the pinned coordinate
-        # at its actual value
+    if cfg.mesh is not None:
+        # NB with gauge-conditioned inputs the pinned coordinate carries zero
+        # information, so no RHS correction is needed on the sharded path.
+        from ..parallel import shard_solve
+        xp, xf = shard_solve.sharded_schur_solve(
+            U, Uij, W, Wpf, V, eP, eF, Mo, cfg.max_obs, cfg.mesh,
+            axis=cfg.mesh_axis, fixed_mask=fixed, method=cfg.method,
+            refine_iters=cfg.refine_iters)
         xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
-        xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
     else:
-        # reference order: backsub with the pinned coordinate still at 0,
-        # stVal[Fix] = Sign afterwards (:7010-7026)
-        xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
-        xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
+        Vinv = schur.inv3x3_sym(V)
+        S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo, cfg.max_obs)
+        if cfg.pin == "sign":
+            E = E - jnp.take(S, fixc, axis=1) * sign
+        x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,
+                                refine_iters=cfg.refine_iters)
+        xp = x.reshape(Mo, 6)
+        if cfg.pin == "sign":
+            # exact constrained fusion: back-substitute with the pinned
+            # coordinate at its actual value
+            xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
+            xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
+        else:
+            # reference order: backsub with the pinned coordinate still at 0,
+            # stVal[Fix] = Sign afterwards (:7010-7026)
+            xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
+            xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
 
     return types.LocalMap(
         pose_ids=pose_ids, poses=xp, feat_ids=feat_ids, feats=xf,

@@ -51,7 +51,7 @@ class TreeSolver:
     def __init__(self, datatype: str, method: str = "direct",
                  refine_iters: int = 3, bucket: int = 16, u_bucket: int = 64,
                  progress: bool = False, strategy: str = "level", mesh=None,
-                 pin: str = "sign"):
+                 pin: str = "sign", root_mesh=None, root_shard_min: int = 256):
         assert datatype in ("stereo", "mono")
         self.datatype = datatype
         self.method = method
@@ -62,6 +62,9 @@ class TreeSolver:
         self.strategy = strategy
         self.mesh = mesh
         self.pin = pin
+        # Feature-sharded Schur for big single-pair (root) joins: TP-analog.
+        self.root_mesh = root_mesh
+        self.root_shard_min = root_shard_min
         self._jit_cache: dict = {}
         self.join_count = 0
 
@@ -81,10 +84,11 @@ class TreeSolver:
             return fn(lm, gauge.ref)
         return fn(lm, gauge.ref, gauge.scap, gauge.fix)
 
-    def _join(self, end: types.LocalMap, cur: types.LocalMap, max_obs: int
-              ) -> types.LocalMap:
+    def _join(self, end: types.LocalMap, cur: types.LocalMap, max_obs: int,
+              mesh=None) -> types.LocalMap:
         cfg = join_mod.JoinConfig(max_obs=max_obs, method=self.method,
-                                  refine_iters=self.refine_iters, pin=self.pin)
+                                  refine_iters=self.refine_iters, pin=self.pin,
+                                  mesh=mesh)
         key = ("j", self._sig(end, cur), cfg)
         if key not in self._jit_cache:
             f = join_mod.join_stereo if self.datatype == "stereo" else join_mod.join_mono
@@ -99,7 +103,10 @@ class TreeSolver:
             g = self._transform(g, m.gauge)
         # a shared max_obs for the fused map (upper bound: sum of both sides)
         mo = types.bucket(_max_obs_per_feature(g) + _max_obs_per_feature(m), 4)
-        out = self._join(g, m, mo)
+        mesh = (self.root_mesh
+                if self.root_mesh is not None
+                and g.M + m.M >= self.root_shard_min else None)
+        out = self._join(g, m, mo, mesh=mesh)
         self.join_count += 1
         return out
 
