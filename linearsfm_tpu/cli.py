@@ -24,19 +24,23 @@ def _print_help():
     print("-type          Set Data Type: Monocular | Stereo")
     print("--method       Solver precision: direct | refine (f32+refinement)")
     print("--cpu          Force CPU backend")
+    print("--ckpt DIR     Save per-level checkpoints to DIR")
+    print("--resume       Resume from the latest checkpoint in --ckpt DIR")
+    print("--trace DIR    Write a jax.profiler trace to DIR")
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     opts = {"path": None, "st": None, "p": None, "f": None, "num": None,
-            "type": None, "method": "direct", "cpu": False, "quiet": False}
+            "type": None, "method": "direct", "cpu": False, "quiet": False,
+            "ckpt": None, "resume": False, "trace": None}
     i = 0
     while i < len(argv):
         name = argv[i].lstrip("-")
         if name == "help":
             _print_help()
             return 0
-        if name in ("cpu", "quiet"):
+        if name in ("cpu", "quiet", "resume"):
             opts[name] = True
             i += 1
             continue
@@ -73,7 +77,8 @@ def main(argv=None):
     final, wall = pipeline.run(
         opts["path"], int(opts["num"]), datatype,
         st_path=opts["st"], pose_path=opts["p"], feat_path=opts["f"],
-        method=opts["method"], progress=not opts["quiet"])
+        method=opts["method"], progress=not opts["quiet"],
+        ckpt_dir=opts["ckpt"], resume=opts["resume"], trace_dir=opts["trace"])
     print(f"Total Used Time:  {wall:f}  sec")
     return 0
 

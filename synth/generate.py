@@ -60,21 +60,31 @@ def _dR(abg):
 # --- trajectory + landmarks -------------------------------------------------
 
 def make_world(num_poses: int, feats_per_pose: int = 4, seed: int = 0,
-               turn_rate: float = 0.15, step: float = 1.0):
+               turn_rate: float = 0.15, step: float = 1.0,
+               pattern: str = "loop"):
     """Ground truth: poses[P,6] (world frame = frame of pose 0), landmark
     positions owned per pose. Returns (poses_gt[P,6], feats_gt[P*F,3],
-    feat_owner[P*F])."""
+    feat_owner[P*F]).
+
+    pattern="loop": turning ground trajectory (RS/NC-style sequences).
+    pattern="grid": nadir-looking lawnmower sweep (AP_* aerial photogrammetry
+    style: long straight strips with 180-degree turns between them)."""
     rng = np.random.default_rng(seed)
     P, F = num_poses, feats_per_pose
     poses = np.zeros((P, 6))
     t = np.zeros(3)
     R = np.eye(3)
+    strip = max(8, int(np.sqrt(P) * 1.5))
     for i in range(P):
         if i > 0:
-            # move forward in camera x, turn slightly
+            if pattern == "grid":
+                turning = (i % strip) == 0
+                rate = np.pi / 2 if turning else 0.0
+            else:
+                rate = turn_rate
             fwd = R.T @ np.array([step, 0.0, 0.0])
             t = t + fwd + rng.normal(0, 0.05, 3)
-            dab = np.array([turn_rate + rng.normal(0, 0.02),
+            dab = np.array([rate + rng.normal(0, 0.02),
                             rng.normal(0, 0.02), rng.normal(0, 0.02)])
             R = euler_to_r(dab) @ R
         poses[i, 0:3] = t
@@ -241,14 +251,15 @@ def make_mono_map(k, poses_gt, feats_gt, owner, feats_per_pose,
 
 
 def make_dataset(num_maps: int, datatype: str = "stereo", feats_per_pose: int = 4,
-                 noise: float = 0.0, seed: int = 0):
+                 noise: float = 0.0, seed: int = 0, pattern: str = "loop"):
     """Returns (maps: list[SynthMap], poses_gt, feats_gt).
 
     The ground truth is expressed in the final output gauge: frame of pose 0;
     for mono additionally scale-normalized to the first map's gauge."""
     span = 2 if datatype == "stereo" else 3
     P = num_maps + span - 1
-    poses_gt, feats_gt, owner = make_world(P, feats_per_pose, seed=seed)
+    poses_gt, feats_gt, owner = make_world(P, feats_per_pose, seed=seed,
+                                           pattern=pattern)
     rng = np.random.default_rng(seed + 12345)
     mk = make_stereo_map if datatype == "stereo" else make_mono_map
     maps = [mk(k, poses_gt, feats_gt, owner, feats_per_pose, noise=noise, rng=rng)
@@ -277,10 +288,12 @@ def main():
     ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--feats", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pattern", choices=["loop", "grid"], default="loop")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
     maps, poses_gt, feats_gt = make_dataset(args.num, args.type, args.feats,
-                                            args.noise, args.seed)
+                                            args.noise, args.seed,
+                                            pattern=args.pattern)
     write_dataset(maps, args.out)
     np.savetxt(os.path.join(args.out, "gt_poses.txt"),
                np.concatenate([np.arange(len(poses_gt))[:, None], poses_gt], axis=1))
