@@ -13,6 +13,7 @@ explicit capacity policy.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -22,6 +23,8 @@ from .. import types
 def compact(lm: types.LocalMap, bucket: int = 16,
             u_bucket: int = 64) -> types.LocalMap:
     """Return an equivalent LocalMap with tight, bucketed capacities."""
+    host = jax.device_get(lm)  # ONE transfer for the whole map
+    lm = host
     pose_ids = np.asarray(lm.pose_ids)
     poses = np.asarray(lm.poses)
     feat_ids = np.asarray(lm.feat_ids)
@@ -82,22 +85,23 @@ def compact(lm: types.LocalMap, bucket: int = 16,
         out[: len(x)] = x
         return out
 
-    dtype = lm.dtype
+    dtype = np.dtype(lm.dtype)
+    gauge = jax.device_get(lm.gauge)  # host scalars; one bundled get
     return types.LocalMap(
-        pose_ids=jnp.asarray(pad(pose_ids[pvalid], Mo, -1), jnp.int32),
-        poses=jnp.asarray(pad(poses[pvalid], Mo), dtype),
-        feat_ids=jnp.asarray(pad(feat_ids[fvalid], No, -1), jnp.int32),
-        feats=jnp.asarray(pad(feats[fvalid], No), dtype),
-        U=jnp.asarray(pad(Um, KU), dtype),
-        Uij=jnp.asarray(pad(Uij_m, KU).astype(np.int32)),
-        W=jnp.asarray(pad(Wm, KW), dtype),
-        Wpf=jnp.asarray(pad(Wpf_m, KW).astype(np.int32)),
-        V=jnp.asarray(pad(V[fvalid], No), dtype),
-        n_poses=jnp.asarray(m, jnp.int32),
-        n_feats=jnp.asarray(n, jnp.int32),
-        n_U=jnp.asarray(len(Um), jnp.int32),
-        n_W=jnp.asarray(len(Wm), jnp.int32),
-        gauge=lm.gauge,
+        pose_ids=pad(pose_ids[pvalid], Mo, -1).astype(np.int32),
+        poses=pad(poses[pvalid], Mo).astype(dtype),
+        feat_ids=pad(feat_ids[fvalid], No, -1).astype(np.int32),
+        feats=pad(feats[fvalid], No).astype(dtype),
+        U=pad(Um, KU).astype(dtype),
+        Uij=pad(Uij_m, KU).astype(np.int32),
+        W=pad(Wm, KW).astype(dtype),
+        Wpf=pad(Wpf_m, KW).astype(np.int32),
+        V=pad(V[fvalid], No).astype(dtype),
+        n_poses=np.int32(m),
+        n_feats=np.int32(n),
+        n_U=np.int32(len(Um)),
+        n_W=np.int32(len(Wm)),
+        gauge=gauge,
     )
 
 

@@ -37,13 +37,22 @@ def merge_one_mono(g: types.LocalMap, m: types.LocalMap,
 
 
 def stack_maps(maps: list[types.LocalMap]) -> types.LocalMap:
-    """Stack same-capacity maps along a new leading axis."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *maps)
+    """Stack same-capacity maps along a new leading axis.
+
+    Stacking happens host-side (numpy) so a whole level becomes ONE
+    device transfer per field — on a tunneled TPU, per-map device ops are
+    ~100ms each and would dominate the level.
+    """
+    import numpy as np
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *maps)
 
 
 def unstack_maps(batched: types.LocalMap) -> list[types.LocalMap]:
-    n = batched.poses.shape[0]
-    return [jax.tree.map(lambda x: x[i], batched) for i in range(n)]
+    """Split a batched map into per-map host (numpy) pytrees with one
+    device_get for the whole batch."""
+    host = jax.device_get(batched)
+    n = host.poses.shape[0]
+    return [jax.tree.map(lambda x: x[i], host) for i in range(n)]
 
 
 def level_merge_fn(datatype: str, cfg: join_mod.JoinConfig, mesh: Mesh,

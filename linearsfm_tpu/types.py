@@ -146,15 +146,19 @@ class LocalMap:
         return jnp.argmax(self.pose_ids == self.gauge.scap)
 
     def pad_to(self, M=None, N=None, KU=None, KW=None) -> "LocalMap":
-        """Grow capacities (no-op on axes already large enough)."""
+        """Grow capacities (no-op on axes already large enough).
+
+        Host-side operation (numpy): used between tree levels where maps
+        live on the host; keeps the tunnel free of per-map device ops."""
         M = self.M if M is None else max(M, self.M)
         N = self.N if N is None else max(N, self.N)
         KU = self.KU if KU is None else max(KU, self.KU)
         KW = self.KW if KW is None else max(KW, self.KW)
 
         def padr(x, k, fill=0):
+            x = np.asarray(x)
             pad = [(0, k - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, pad, constant_values=fill)
+            return np.pad(x, pad, constant_values=fill)
 
         return dataclasses.replace(
             self,
@@ -168,13 +172,19 @@ class LocalMap:
 
 def make_local_map(pose_ids, poses, feat_ids, feats, U, Uij, W, Wpf, V, gauge,
                    dtype=jnp.float64) -> LocalMap:
-    """Build a LocalMap from exact-size (unpadded) host arrays."""
-    pose_ids = jnp.asarray(pose_ids, jnp.int32)
-    feat_ids = jnp.asarray(feat_ids, jnp.int32)
-    f = lambda x: jnp.asarray(x, dtype)
-    i32 = lambda v: jnp.asarray(v, jnp.int32)
-    Uij = jnp.asarray(Uij, jnp.int32).reshape(-1, 2)
-    Wpf = jnp.asarray(Wpf, jnp.int32).reshape(-1, 2)
+    """Build a LocalMap from exact-size (unpadded) host arrays.
+
+    Arrays stay host-side (numpy); they move to device lazily at the first
+    jit boundary — important on tunneled TPUs where each transfer has real
+    latency."""
+    import numpy as _np
+    npdtype = _np.dtype(dtype) if dtype != jnp.float64 else _np.float64
+    pose_ids = _np.asarray(pose_ids, _np.int32)
+    feat_ids = _np.asarray(feat_ids, _np.int32)
+    f = lambda x: _np.asarray(x, npdtype)
+    i32 = lambda v: _np.asarray(v, _np.int32)
+    Uij = _np.asarray(Uij, _np.int32).reshape(-1, 2)
+    Wpf = _np.asarray(Wpf, _np.int32).reshape(-1, 2)
     return LocalMap(
         pose_ids=pose_ids, poses=f(poses).reshape(-1, 6),
         feat_ids=feat_ids, feats=f(feats).reshape(-1, 3),
