@@ -59,3 +59,30 @@ def test_mono_tree_odd_count_exact():
     for s, pid in enumerate(ids):
         if pid >= 0:
             np.testing.assert_allclose(poses[s], poses_gt[int(pid)], atol=1e-6)
+
+
+def test_stereo_tree_refine_method():
+    """f32-factor + f64-refinement through the whole pipeline."""
+    from synth import generate as gen
+    from linearsfm_tpu.core.tree import TreeSolver
+    maps, poses_gt, _ = gen.make_dataset(8, "stereo", noise=0.0, seed=14)
+    out = TreeSolver("stereo", method="refine", refine_iters=4).run(
+        [m.to_local_map() for m in maps])
+    ids = np.asarray(out.pose_ids)
+    poses = np.asarray(out.poses)
+    for s, pid in enumerate(ids):
+        if pid >= 0:
+            np.testing.assert_allclose(poses[s], poses_gt[int(pid)], atol=5e-5)
+
+
+def test_grid_pattern_dataset():
+    from synth import generate as gen
+    from linearsfm_tpu.core.tree import TreeSolver
+    maps, poses_gt, _ = gen.make_dataset(12, "stereo", noise=0.0, seed=15,
+                                         pattern="grid")
+    out = TreeSolver("stereo").run([m.to_local_map() for m in maps])
+    ids = np.asarray(out.pose_ids)
+    poses = np.asarray(out.poses)
+    for s, pid in enumerate(ids):
+        if pid >= 0:
+            np.testing.assert_allclose(poses[s], poses_gt[int(pid)], atol=1e-6)
