@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NUM_MAPS = int(os.environ.get("BENCH_MAPS", "128"))
 DTYPE = os.environ.get("BENCH_METHOD", "direct")
+DATATYPE = os.environ.get("BENCH_TYPE", "stereo")
 
 
 def main():
@@ -25,10 +26,10 @@ def main():
     from linearsfm_tpu.core.tree import TreeSolver
     import jax
 
-    maps, poses_gt, _ = gen.make_dataset(NUM_MAPS, "stereo", noise=0.005, seed=7)
+    maps, poses_gt, _ = gen.make_dataset(NUM_MAPS, DATATYPE, noise=0.005, seed=7)
     lms = [m.to_local_map() for m in maps]
 
-    solver = TreeSolver("stereo", method=DTYPE)
+    solver = TreeSolver(DATATYPE, method=DTYPE)
     # warmup: populate all per-level jit caches
     solver.run(lms)
     t0 = time.time()
@@ -51,12 +52,12 @@ def main():
                       "baseline_measured.json")
     if os.path.exists(bm):
         with open(bm) as fh:
-            b = json.load(fh).get("stereo_maps_per_s_%d" % NUM_MAPS)
+            b = json.load(fh).get(f"{DATATYPE}_maps_per_s_{NUM_MAPS}")
         if b:
             base = value / b
 
     print(json.dumps({
-        "metric": f"synthetic stereo {NUM_MAPS}-map hierarchical solve (ATE {ate:.2e})",
+        "metric": f"synthetic {DATATYPE} {NUM_MAPS}-map hierarchical solve (ATE {ate:.2e})",
         "value": round(value, 3),
         "unit": "maps_joined/s",
         "vs_baseline": round(base, 3),
