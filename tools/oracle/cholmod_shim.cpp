@@ -59,7 +59,6 @@ int cholmod_amd(cholmod_sparse *A, int *, size_t, int *perm, cholmod_common *) {
 cholmod_factor *cholmod_analyze(cholmod_sparse *A, cholmod_common *) {
   cholmod_factor *F = (cholmod_factor *)std::calloc(1, sizeof(cholmod_factor));
   F->n = A->ncol;
-  F->L = nullptr;
   return F;
 }
 
@@ -68,79 +67,115 @@ cholmod_factor *cholmod_analyze_p(cholmod_sparse *A, int *, int *, size_t,
   return cholmod_analyze(A, c);
 }
 
+/* Skyline (profile) Cholesky: row i stores columns first[i]..i, where
+ * first[i] is the leftmost structural nonzero of row i in the symmetric
+ * profile closure. Fill-in stays within the profile, so factorization cost is
+ * sum(bandwidth^2) — near-linear for the mostly-banded reduced camera systems
+ * LinearSFM produces, comparable to supernodal CHOLMOD on these patterns. */
 int cholmod_factorize(cholmod_sparse *A, cholmod_factor *F, cholmod_common *) {
-  const size_t n = A->ncol;
+  const long n = (long)A->ncol;
   const int *Ap = (const int *)A->p;
   const int *Ai = (const int *)A->i;
   const double *Ax = (const double *)A->x;
-  if (!F->L) F->L = (double *)std::calloc(n * n ? n * n : 1, sizeof(double));
-  double *M = F->L;
-  std::memset(M, 0, n * n * sizeof(double));
-  /* stype=1: upper triangle stored column-wise; symmetrize into dense */
-  for (size_t col = 0; col < n; ++col) {
+
+  std::free(F->val); std::free(F->first); std::free(F->rp);
+  long *first = (long *)std::malloc(n * sizeof(long));
+  for (long i = 0; i < n; ++i) first[i] = i;
+  /* upper storage by columns: entry (row, col) with row <= col ->
+     affects profile of row `col`: first[col] = min(first[col], row) */
+  for (long col = 0; col < n; ++col)
     for (int k = Ap[col]; k < Ap[col + 1]; ++k) {
-      size_t row = (size_t)Ai[k];
-      M[row * n + col] = Ax[k];
-      M[col * n + row] = Ax[k];
+      long row = Ai[k];
+      if (row < first[col]) first[col] = row;
     }
+  long *rp = (long *)std::malloc((n + 1) * sizeof(long));
+  rp[0] = 0;
+  for (long i = 0; i < n; ++i) rp[i + 1] = rp[i] + (i - first[i] + 1);
+  double *val = (double *)std::calloc(rp[n] ? rp[n] : 1, sizeof(double));
+
+  /* scatter A (upper columns) into skyline rows */
+  for (long col = 0; col < n; ++col)
+    for (int k = Ap[col]; k < Ap[col + 1]; ++k) {
+      long row = Ai[k]; /* row <= col; skyline row = col, offset col-.. */
+      val[rp[col] + (row - first[col])] = Ax[k];
+    }
+
+  /* in-place skyline Cholesky (row-oriented) */
+  for (long i = 0; i < n; ++i) {
+    double *ri = val + rp[i];
+    long fi = first[i];
+    for (long j = fi; j < i; ++j) {
+      double *rj = val + rp[j];
+      long fj = first[j];
+      long lo = fi > fj ? fi : fj;
+      double s2 = 0.0;
+      for (long k = lo; k < j; ++k)
+        s2 += ri[k - fi] * rj[k - fj];
+      ri[j - fi] = (ri[j - fi] - s2) / rj[j - fj];
+    }
+    double diag = ri[i - fi];
+    for (long k = fi; k < i; ++k) diag -= ri[k - fi] * ri[k - fi];
+    if (diag <= 0.0) diag = 1e-300;
+    ri[i - fi] = std::sqrt(diag);
   }
+  F->val = val; F->first = first; F->rp = rp;
+
   const char *dump = std::getenv("CHOLMOD_SHIM_DUMP");
   if (dump) {
     char name[512];
     std::snprintf(name, sizeof name, "%s_%d_A.txt", dump, g_solve_count);
     FILE *fh = std::fopen(name, "w");
-    for (size_t r = 0; r < n; ++r) {
-      for (size_t c2 = 0; c2 < n; ++c2)
-        std::fprintf(fh, "%.17g ", M[r * n + c2]);
+    /* reconstruct dense A for dumping */
+    double *M = (double *)std::calloc(n * n, sizeof(double));
+    for (long col = 0; col < n; ++col)
+      for (int k = Ap[col]; k < Ap[col + 1]; ++k) {
+        long row = Ai[k];
+        M[row * n + col] = Ax[k];
+        M[col * n + row] = Ax[k];
+      }
+    for (long r = 0; r < n; ++r) {
+      for (long c2 = 0; c2 < n; ++c2) std::fprintf(fh, "%.17g ", M[r * n + c2]);
       std::fprintf(fh, "\n");
     }
+    std::free(M);
     std::fclose(fh);
-  }
-  /* in-place dense Cholesky (lower) */
-  for (size_t j = 0; j < n; ++j) {
-    double diag = M[j * n + j];
-    for (size_t k = 0; k < j; ++k) diag -= M[j * n + k] * M[j * n + k];
-    if (diag <= 0.0) diag = 1e-300; /* mirror CHOLMOD tolerance behaviour */
-    diag = std::sqrt(diag);
-    M[j * n + j] = diag;
-    for (size_t i2 = j + 1; i2 < n; ++i2) {
-      double s = M[i2 * n + j];
-      for (size_t k = 0; k < j; ++k) s -= M[i2 * n + k] * M[j * n + k];
-      M[i2 * n + j] = s / diag;
-    }
   }
   return 1;
 }
 
 cholmod_dense *cholmod_solve(int, cholmod_factor *F, cholmod_dense *B,
                              cholmod_common *c) {
-  const size_t n = F->n;
+  const long n = (long)F->n;
   cholmod_dense *X = cholmod_zeros(n, 1, CHOLMOD_REAL, c);
   double *x = (double *)X->x;
   const double *b = (const double *)B->x;
-  const double *L = F->L;
-  /* L y = b */
-  for (size_t i = 0; i < n; ++i) {
-    double s = b[i];
-    for (size_t k = 0; k < i; ++k) s -= L[i * n + k] * x[k];
-    x[i] = s / L[i * n + i];
+  const double *val = F->val;
+  const long *first = F->first, *rp = F->rp;
+  /* L y = b (skyline rows) */
+  for (long i = 0; i < n; ++i) {
+    const double *ri = val + rp[i];
+    long fi = first[i];
+    double s2 = b[i];
+    for (long k = fi; k < i; ++k) s2 -= ri[k - fi] * x[k];
+    x[i] = s2 / ri[i - fi];
   }
-  /* L^T x = y */
-  for (size_t ii = n; ii-- > 0;) {
-    double s = x[ii];
-    for (size_t k = ii + 1; k < n; ++k) s -= L[k * n + ii] * x[k];
-    x[ii] = s / L[ii * n + ii];
+  /* L^T x = y: column-oriented backward sweep */
+  for (long i = n - 1; i >= 0; --i) {
+    const double *ri = val + rp[i];
+    long fi = first[i];
+    x[i] /= ri[i - fi];
+    for (long k = fi; k < i; ++k) x[k] -= ri[k - fi] * x[i];
   }
   const char *dump = std::getenv("CHOLMOD_SHIM_DUMP");
   if (dump) {
     char name[512];
     std::snprintf(name, sizeof name, "%s_%d_b.txt", dump, g_solve_count);
     FILE *fh = std::fopen(name, "w");
-    for (size_t k = 0; k < n; ++k) std::fprintf(fh, "%.17g\n", b[k]);
+    for (long k = 0; k < n; ++k) std::fprintf(fh, "%.17g\n", b[k]);
     std::fclose(fh);
     std::snprintf(name, sizeof name, "%s_%d_x.txt", dump, g_solve_count);
     fh = std::fopen(name, "w");
-    for (size_t k = 0; k < n; ++k) std::fprintf(fh, "%.17g\n", x[k]);
+    for (long k = 0; k < n; ++k) std::fprintf(fh, "%.17g\n", x[k]);
     std::fclose(fh);
     ++g_solve_count;
   }
@@ -149,7 +184,9 @@ cholmod_dense *cholmod_solve(int, cholmod_factor *F, cholmod_dense *B,
 
 int cholmod_free_factor(cholmod_factor **L, cholmod_common *) {
   if (L && *L) {
-    std::free((*L)->L);
+    std::free((*L)->val);
+    std::free((*L)->first);
+    std::free((*L)->rp);
     std::free(*L);
     *L = nullptr;
   }

@@ -47,7 +47,9 @@ typedef struct cholmod_dense_struct {
 
 typedef struct cholmod_factor_struct {
   size_t n;
-  double *L; /* dense lower factor, n*n */
+  double *val;  /* skyline-packed rows: row i holds cols first[i]..i */
+  long *first;  /* first nonzero column per row (profile) */
+  long *rp;     /* row start offsets into val (n+1) */
 } cholmod_factor;
 
 extern "C" {
