@@ -148,6 +148,7 @@ class TreeSolver:
     def _run_level_batched(self, gs, ms):
         """All pairwise joins of one level as a single program."""
         from ..parallel import level as plevel
+        t0 = time.time()
         both = gs + ms
         M, N, KU, KW = self._common_capacity(both)
         both = [lm.pad_to(M, N, KU, KW) for lm in both]
@@ -162,9 +163,17 @@ class TreeSolver:
         G = plevel.stack_maps(gs)
         Mb = plevel.stack_maps(ms)
         sig = jax.tree.map(lambda x: x.shape, (G, Mb))
+        t1 = time.time()
         out = self._level_fn(sig, mo)(G, Mb)
+        jax.block_until_ready(out.poses)
+        t2 = time.time()
+        res = plevel.unstack_maps(out)[:npair]
+        t3 = time.time()
+        self._last_timing = dict(prep=round(t1 - t0, 4),
+                                 device=round(t2 - t1, 4),
+                                 get=round(t3 - t2, 4))
         self.join_count += npair
-        return plevel.unstack_maps(out)[:npair]
+        return res
 
     # -- full tree -----------------------------------------------------------
     def run(self, maps: list[types.LocalMap], ckpt_dir: str | None = None,
@@ -202,7 +211,8 @@ class TreeSolver:
             level += 1
             if metrics is not None:
                 metrics.record(level, count, npair,
-                               M=maps[0].M, N=maps[0].N)
+                               M=maps[0].M, N=maps[0].N,
+                               **getattr(self, "_last_timing", {}))
             if ckpt_dir:
                 from ..utils import checkpoint as ckpt
                 ckpt.save_level(ckpt_dir, level, maps)
