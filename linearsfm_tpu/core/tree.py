@@ -171,7 +171,7 @@ class TreeSolver:
         t3 = time.time()
         self._last_timing = dict(prep=round(t1 - t0, 4),
                                  device=round(t2 - t1, 4),
-                                 get=round(t3 - t2, 4))
+                                 get=round(t3 - t2, 4), max_obs=mo)
         self.join_count += npair
         return res
 

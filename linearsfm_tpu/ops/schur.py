@@ -68,6 +68,11 @@ def info_vector(poses, feats, U, Uij, W, Wpf, V):
     return eP, eF
 
 
+# Feature-chunking budget for the pairwise Schur products: elements of
+# [chunk, O, O] kept near ~2^21 so the [chunk,O,O,6,6] f64 temp stays <~600MB.
+_SCHUR_CHUNK_ELEMS = 1 << 21
+
+
 def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
     """Static-shape grouping of W entries by feature.
 
@@ -124,11 +129,29 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int):
     entry, valid = group_by_feature(Wpf, N, max_obs, entry_valid=entry_valid)
     Wg = W[entry] * valid[..., None, None]          # [N, O, 6, 3]
     pg = wp[entry]                                  # [N, O]
-    Yg = jnp.einsum("nofk,nkl->nofl", Wg, Vinv)     # W V^-1
-    C = jnp.einsum("nofk,npgk->nopfg", Yg, Wg)      # [N, O, O, 6, 6]
-    po = jnp.broadcast_to(pg[:, :, None], C.shape[:3])
-    pp = jnp.broadcast_to(pg[:, None, :], C.shape[:3])
-    S = S.at[po.reshape(-1), :, pp.reshape(-1), :].add(-C.reshape(-1, 6, 6))
+
+    # Pairwise outer products W_f Vinv_f W_f^T, accumulated in feature chunks:
+    # the [N, O, O, 6, 6] tensor is O(N * max_obs^2) and overflows HBM at root
+    # scale if materialized whole.
+    chunk = max(1, min(N, _SCHUR_CHUNK_ELEMS // max(1, max_obs * max_obs)))
+    nch = (N + chunk - 1) // chunk
+    Np = nch * chunk
+
+    def padc(x):
+        return jnp.pad(x, [(0, Np - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+    Wg_p, pg_p, Vinv_p = padc(Wg), padc(pg), padc(Vinv)
+
+    def body(c, S):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk)
+        Wc, pc, Vc = sl(Wg_p), sl(pg_p), sl(Vinv_p)
+        Yc = jnp.einsum("nofk,nkl->nofl", Wc, Vc)
+        C = jnp.einsum("nofk,npgk->nopfg", Yc, Wc)   # [chunk, O, O, 6, 6]
+        po = jnp.broadcast_to(pc[:, :, None], C.shape[:3])
+        pp = jnp.broadcast_to(pc[:, None, :], C.shape[:3])
+        return S.at[po.reshape(-1), :, pp.reshape(-1), :].add(-C.reshape(-1, 6, 6))
+
+    S = jax.lax.fori_loop(0, nch, body, S) if nch > 1 else body(0, S)
 
     Y = jnp.einsum("kiz,kzf->kif", W, Vinv[wf])      # W V^-1 per entry
     E = eP - jax.ops.segment_sum(jnp.einsum("kif,kf->ki", Y, eF[wf]), wp, M)
