@@ -54,3 +54,16 @@ def test_roundtrip_stereo_native(tmp_path):
 
 def test_roundtrip_mono_native(tmp_path):
     _roundtrip(tmp_path, "mono", use_native=True)
+
+
+def test_check_map_flags_problems():
+    import dataclasses
+    import jax.numpy as jnp
+    from linearsfm_tpu.utils import debug as dbg
+    maps, _, _ = gen.make_dataset(2, "mono", noise=0.0, seed=20)
+    lm = maps[0].to_local_map()
+    assert dbg.check_map(lm) == []
+    bad = dataclasses.replace(lm, V=jnp.asarray(np.asarray(lm.V)).at[0, 0, 0].set(np.nan))
+    assert any("non-finite" in p for p in dbg.check_map(bad))
+    bad2 = dataclasses.replace(lm, Uij=jnp.asarray(np.asarray(lm.Uij)).at[0, 0].set(99))
+    assert any("out of range" in p for p in dbg.check_map(bad2))
