@@ -25,7 +25,7 @@ what the reference does by special-casing ``i == pos3 / pos4`` (:3495-3507).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
