@@ -158,10 +158,12 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     cscap = cur.scap_slot()
 
     # ---- angle wraparound on the scale-pose blocks (:7427-7465) -----------
-    end_poses = end.poses.at[pos2, 3:6].set(wrap_angle_pi(end.poses[pos2, 3:6]))
+    # (jnp.asarray: inputs may be host/numpy-backed when called un-jitted)
+    end_poses = jnp.asarray(end.poses).at[pos2, 3:6].set(
+        wrap_angle_pi(end.poses[pos2, 3:6]))
     cur_ang = wrap_angle_pi(cur.poses[cscap, 3:6])
     cur_ang = wrap_angle_diff(cur_ang, end_poses[pos2, 3:6])
-    cur_poses = cur.poses.at[cscap, 3:6].set(cur_ang)
+    cur_poses = jnp.asarray(cur.poses).at[cscap, 3:6].set(cur_ang)
 
     # ---- drop zero-information blocks touching the reference pose ---------
     end_keep_u = (end.Uij[:, 0] != pos1) & (end.Uij[:, 1] != pos1)

@@ -68,9 +68,15 @@ def info_vector(poses, feats, U, Uij, W, Wpf, V):
     return eP, eF
 
 
-# Feature-chunking budget for the pairwise Schur products: elements of
-# [chunk, O, O] kept near ~2^21 so the [chunk,O,O,6,6] f64 temp stays <~600MB.
-_SCHUR_CHUNK_ELEMS = 1 << 21
+# Feature-chunking budget for the pairwise Schur products. NB each 6x6 block
+# occupies a full (8,128) TPU tile (28x padding), so the budget is counted in
+# [chunk, O, O] *blocks*, each costing 8*128*8 bytes: ~2^16 blocks = ~550MB.
+_SCHUR_CHUNK_BLOCKS = 1 << 16
+
+# Above this scalar dimension the pairwise grouped path loses to dense
+# matmuls: scatter W into a dense [6M,3N] and hit the MXU (see
+# _assemble_schur_dense).
+_DENSE_SCHUR_DIM = 1024
 
 
 def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
@@ -107,15 +113,61 @@ def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
     return entry[:N], valid[:N]
 
 
+def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
+    """Large-join Schur path: dense [6M,3N] W and MXU matmuls.
+
+    Scatters the block lists into clean 2-D layouts (no trailing-6 tile
+    padding) and computes ``S = A - (W Vinv) W^T`` with two big dot products —
+    the layout/throughput-optimal form once the reduced system is root-sized.
+    """
+    N = Vinv.shape[0]
+    dtype = U.dtype
+    ui, uj = Uij[:, 0], Uij[:, 1]
+    wp, wf = Wpf[:, 0], Wpf[:, 1]
+    KU, KW = U.shape[0], W.shape[0]
+
+    r6 = jnp.arange(6)
+    r3 = jnp.arange(3)
+
+    # A: scatter U blocks (and transposes) into [6M, 6M]
+    A = jnp.zeros((6 * M, 6 * M), dtype)
+    rows = jnp.broadcast_to(ui[:, None, None] * 6 + r6[None, :, None], (KU, 6, 6))
+    cols = jnp.broadcast_to(uj[:, None, None] * 6 + r6[None, None, :], (KU, 6, 6))
+    A = A.at[rows.reshape(-1), cols.reshape(-1)].add(U.reshape(-1))
+    # symmetric completion: scatter entry (a,b) at the swapped position
+    # (col_b, row_a); the value stays U[a,b] (no element transpose needed)
+    Uo = jnp.where((ui != uj)[:, None, None], U, 0.0)
+    A = A.at[cols.reshape(-1), rows.reshape(-1)].add(Uo.reshape(-1))
+
+    # Wd: [6M, 3N]; Vd: block-diagonal [3N, 3N]
+    Wd = jnp.zeros((6 * M, 3 * N), dtype)
+    wrows = jnp.broadcast_to(wp[:, None, None] * 6 + r6[None, :, None], (KW, 6, 3))
+    wcols = jnp.broadcast_to(wf[:, None, None] * 3 + r3[None, None, :], (KW, 6, 3))
+    Wd = Wd.at[wrows.reshape(-1), wcols.reshape(-1)].add(W.reshape(-1))
+    Vd = jnp.zeros((3 * N, 3 * N), dtype)
+    fidx = jnp.arange(N)
+    vrows = jnp.broadcast_to(fidx[:, None, None] * 3 + r3[None, :, None], (N, 3, 3))
+    vcols = jnp.broadcast_to(fidx[:, None, None] * 3 + r3[None, None, :], (N, 3, 3))
+    Vd = Vd.at[vrows.reshape(-1), vcols.reshape(-1)].set(Vinv.reshape(-1))
+
+    Y = Wd @ Vd
+    S = A - Y @ Wd.T
+    E = eP.reshape(-1) - Y @ eF.reshape(-1)
+    return S, E
+
+
 def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int):
     """Dense reduced camera system: S[6M,6M], E[6M].
 
     S = scatter(U) - sum_f W_f Vinv_f W_f^T, grouped per feature with a static
     max-observation bound (matches the reference's per-feature double loop,
-    LinearSFMImp.cpp:2244-2332).
+    LinearSFMImp.cpp:2244-2332). Root-scale joins switch to the dense-W MXU
+    path (_assemble_schur_dense).
     """
     N = Vinv.shape[0]
     dtype = U.dtype
+    if 6 * M >= _DENSE_SCHUR_DIM:
+        return _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M)
     ui, uj = Uij[:, 0], Uij[:, 1]
     wp, wf = Wpf[:, 0], Wpf[:, 1]
 
@@ -133,7 +185,7 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int):
     # Pairwise outer products W_f Vinv_f W_f^T, accumulated in feature chunks:
     # the [N, O, O, 6, 6] tensor is O(N * max_obs^2) and overflows HBM at root
     # scale if materialized whole.
-    chunk = max(1, min(N, _SCHUR_CHUNK_ELEMS // max(1, max_obs * max_obs)))
+    chunk = max(1, min(N, _SCHUR_CHUNK_BLOCKS // max(1, max_obs * max_obs)))
     nch = (N + chunk - 1) // chunk
     Np = nch * chunk
 

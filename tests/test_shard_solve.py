@@ -34,3 +34,16 @@ def test_sharded_schur_matches_serial():
 
     np.testing.assert_allclose(np.asarray(xp_sh), np.asarray(xp_ser), atol=1e-9)
     np.testing.assert_allclose(np.asarray(xf_sh), np.asarray(xf_ser), atol=1e-9)
+
+
+def test_dense_schur_path_matches_grouped():
+    rng = np.random.default_rng(33)
+    lm = H.random_stereo_map(rng, M=6, N=20, pose_id0=1, ref_id=0)
+    eP, eF = schur.info_vector(lm.poses, lm.feats, lm.U, lm.Uij, lm.W, lm.Wpf, lm.V)
+    Vinv = schur.inv3x3_sym(lm.V)
+    S1, E1 = schur.assemble_schur(lm.U, lm.Uij, lm.W, lm.Wpf, Vinv, eP, eF,
+                                  lm.M, max_obs=8)
+    S2, E2 = schur._assemble_schur_dense(lm.U, lm.Uij, lm.W, lm.Wpf, Vinv,
+                                         eP, eF, lm.M)
+    np.testing.assert_allclose(np.asarray(S2), np.asarray(S1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(E2), np.asarray(E1), atol=1e-9)
