@@ -104,6 +104,8 @@ def transform_state_stereo(pose_ids, poses, feats, new_ref_id, old_ref_id):
     Returns (pose_ids', poses', feats'). The slot of `new_ref_id` is re-tagged
     to `old_ref_id` and holds invpose(g) (LinearSFMImp.cpp:389-455).
     """
+    pose_ids = jnp.asarray(pose_ids)  # may be host/numpy-backed un-jitted
+    poses = jnp.asarray(poses)
     slot = jnp.argmax(pose_ids == new_ref_id)
     g = poses[slot]
     new_poses = jax.vmap(stereo_pose_block, in_axes=(0, None))(poses, g)
@@ -116,6 +118,8 @@ def transform_state_stereo(pose_ids, poses, feats, new_ref_id, old_ref_id):
 def transform_state_mono(pose_ids, poses, feats, new_ref_id, new_scap_id, new_fix):
     """Mono re-expression; returns (poses', feats', sign). Pose ids unchanged
     (every pose incl. the reference is an explicit block in mono)."""
+    pose_ids = jnp.asarray(pose_ids)
+    poses = jnp.asarray(poses)
     slot_r = jnp.argmax(pose_ids == new_ref_id)
     slot_s = jnp.argmax(pose_ids == new_scap_id)
     g = poses[slot_r]
