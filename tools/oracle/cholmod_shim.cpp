@@ -15,6 +15,15 @@
  * compared against the TPU implementation's. */
 static int g_solve_count = 0;
 
+/* The reference's flag parser allocates strlen bytes for each argument and
+ * strcpy's into it WITHOUT room for the NUL terminator
+ * (lmj_parseArgs, LinearSFMImp.cpp:8018-8045) — an off-by-one heap overflow
+ * whose crashiness depends on the path length and heap layout (ASan-confirmed).
+ * Pad every allocation by a few bytes so the oracle is usable with arbitrary
+ * paths; glibc free() still accepts the same pointer. */
+extern "C" void *__libc_malloc(size_t);
+extern "C" void *malloc(size_t n) { return __libc_malloc(n + 8); }
+
 extern "C" {
 
 int cholmod_start(cholmod_common *c) {
