@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-NUM_MAPS = int(os.environ.get("BENCH_MAPS", "128"))
+NUM_MAPS = int(os.environ.get("BENCH_MAPS", "512"))
 DTYPE = os.environ.get("BENCH_METHOD", "direct")
 DATATYPE = os.environ.get("BENCH_TYPE", "stereo")
 
