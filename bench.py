@@ -17,19 +17,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NUM_MAPS = int(os.environ.get("BENCH_MAPS", "512"))
-DTYPE = os.environ.get("BENCH_METHOD", "direct")
+DTYPE = os.environ.get("BENCH_METHOD", "refine")
 DATATYPE = os.environ.get("BENCH_TYPE", "stereo")
+EXECUTOR = os.environ.get("BENCH_EXEC", "device")
 
 
 def main():
     from synth import generate as gen
-    from linearsfm_tpu.core.tree import TreeSolver
     import jax
 
     maps, poses_gt, _ = gen.make_dataset(NUM_MAPS, DATATYPE, noise=0.005, seed=7)
     lms = [m.to_local_map() for m in maps]
 
-    solver = TreeSolver(DATATYPE, method=DTYPE)
+    if EXECUTOR == "device":
+        from linearsfm_tpu.core.device_tree import DeviceTreeSolver
+        solver = DeviceTreeSolver(DATATYPE, method=DTYPE)
+    else:
+        from linearsfm_tpu.core.tree import TreeSolver
+        solver = TreeSolver(DATATYPE, method=DTYPE)
     # warmup: populate all per-level jit caches
     solver.run(lms)
     t0 = time.time()

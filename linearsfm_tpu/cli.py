@@ -23,6 +23,7 @@ def _print_help():
     print("-num           Number of Initial Reconstruction")
     print("-type          Set Data Type: Monocular | Stereo")
     print("--method       Solver precision: direct | refine (f32+refinement)")
+    print("--exec         Tree executor: device (resident, fastest) | host")
     print("--cpu          Force CPU backend")
     print("--ckpt DIR     Save per-level checkpoints to DIR")
     print("--resume       Resume from the latest checkpoint in --ckpt DIR")
@@ -33,7 +34,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     opts = {"path": None, "st": None, "p": None, "f": None, "num": None,
             "type": None, "method": "direct", "cpu": False, "quiet": False,
-            "ckpt": None, "resume": False, "trace": None}
+            "ckpt": None, "resume": False, "trace": None, "exec": None}
     i = 0
     while i < len(argv):
         name = argv[i].lstrip("-")
@@ -74,11 +75,15 @@ def main(argv=None):
 
     from .core import pipeline
     datatype = "mono" if opts["type"] == "Monocular" else "stereo"
+    # checkpoint/resume needs the host scheduler; otherwise default to the
+    # device-resident executor (fastest on TPU).
+    executor = opts["exec"] or ("host" if (opts["ckpt"] or opts["resume"]) else "device")
     final, wall = pipeline.run(
         opts["path"], int(opts["num"]), datatype,
         st_path=opts["st"], pose_path=opts["p"], feat_path=opts["f"],
         method=opts["method"], progress=not opts["quiet"],
-        ckpt_dir=opts["ckpt"], resume=opts["resume"], trace_dir=opts["trace"])
+        ckpt_dir=opts["ckpt"], resume=opts["resume"], trace_dir=opts["trace"],
+        executor=executor)
     print(f"Total Used Time:  {wall:f}  sec")
     return 0
 

@@ -1,0 +1,184 @@
+"""Device-resident merge tree: one XLA program per level, maps never leave HBM.
+
+The host-driven scheduler (core/tree.py) round-trips every map through numpy
+between levels; on a tunneled TPU those transfers + per-map host compaction
+dominate wall-clock (measured ~2/3 of the 512-map solve). Here the whole
+level — all pairwise joins (vmapped), the every-2nd-map re-gauge
+(/root/reference/linux/src/LinearSFMImp/LinearSFMImp.cpp:1997-2030), the odd
+carry (:1946-1948), and map compaction — is ONE jitted program operating on a
+stacked [count, ...caps] pytree. The host only:
+
+* builds the static capacity plan up front (core/plan.py),
+* dispatches one program per level,
+* fetches the root map at the end.
+
+Schur systems always use the dense-W MXU assembly (no per-level max_obs
+statistics exist on the host), and the solve defaults to f32 Cholesky +
+f64 iterative refinement — near-f64 accuracy at MXU speed (ops/solve.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import types
+from ..ops import congruence
+from . import compact as compact_mod
+from . import dcompact
+from . import join as join_mod
+from . import plan as plan_mod
+
+log = logging.getLogger("linearsfm_tpu")
+
+
+def pad_to_device(lm: types.LocalMap, M: int, N: int, KU: int,
+                  KW: int) -> types.LocalMap:
+    """Grow capacities on device (jnp analog of LocalMap.pad_to)."""
+    def pad(x, k, fill=0):
+        return jnp.pad(x, [(0, k - x.shape[0])] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+    return dataclasses.replace(
+        lm,
+        pose_ids=pad(lm.pose_ids, M, -1), poses=pad(lm.poses, M),
+        feat_ids=pad(lm.feat_ids, N, -1), feats=pad(lm.feats, N),
+        U=pad(lm.U, KU), Uij=pad(lm.Uij, KU),
+        W=pad(lm.W, KW), Wpf=pad(lm.Wpf, KW),
+        V=pad(lm.V, N),
+    )
+
+
+def _select(cond, a: types.LocalMap, b: types.LocalMap) -> types.LocalMap:
+    """Per-map scalar select between two equal-capacity maps."""
+    return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+class DeviceTreeSolver:
+    """Device-resident hierarchical solver (same semantics as TreeSolver).
+
+    Mirrors lmj_PF3D_Divide_ConquerStereo/Mono
+    (LinearSFMImp.cpp:1926-2099, :6511-6658): binary-tree reduction with odd
+    carry, every-2nd-map re-gauge, final re-gauge to the first map's frame.
+    """
+
+    def __init__(self, datatype: str, method: str = "refine",
+                 refine_iters: int = 3, bucket: int = 16, u_bucket: int = 64,
+                 pin: str = "sign", progress: bool = False):
+        assert datatype in ("stereo", "mono")
+        self.datatype = datatype
+        self.cfg = join_mod.JoinConfig(max_obs=1, method=method,
+                                       refine_iters=refine_iters, pin=pin,
+                                       dense_schur=True)
+        self.bucket = bucket
+        self.u_bucket = u_bucket
+        self.progress = progress
+        self._progs: dict = {}
+        self.join_count = 0
+
+    # -- building blocks -----------------------------------------------------
+    def _merge_one(self, g: types.LocalMap, m: types.LocalMap) -> types.LocalMap:
+        if self.datatype == "stereo":
+            end = congruence.transform_map_stereo(g, m.gauge.ref)
+            return join_mod.join_stereo(end, m, self.cfg)
+        end = congruence.transform_map_mono(g, m.gauge.ref, m.gauge.scap,
+                                            m.gauge.fix)
+        return join_mod.join_mono(end, m, self.cfg)
+
+    def _finish_one(self, lm: types.LocalMap, need, caps_out):
+        """Conditional re-gauge to the final frame, then compact to caps_out.
+
+        `need` already encodes the position parity; the data-dependent part
+        (ref > fref, LinearSFMImp.cpp:1997) is added here. The transform is
+        computed unconditionally (vmap executes both branches anyway) and
+        selected per map.
+        """
+        g = lm.gauge
+        if self.datatype == "stereo":
+            t = congruence.transform_map_stereo(lm, g.fref)
+        else:
+            t = congruence.transform_map_mono(lm, g.fref, g.fscap, g.ffix)
+        base = pad_to_device(lm, t.M, t.N, t.KU, t.KW)
+        sel = _select(need & (g.ref > g.fref), t, base)
+        return dcompact.compact_device(sel, *caps_out)[0]
+
+    # -- level program ---------------------------------------------------------
+    def _level_program(self, lp: plan_mod.LevelPlan):
+        key = (lp.count, lp.caps_in, lp.caps_out)
+        if key in self._progs:
+            return self._progs[key]
+        count = lp.count
+        npair, nxt = count // 2, (count + 1) // 2
+        caps_out = lp.caps_out
+
+        def prog(x: types.LocalMap) -> types.LocalMap:
+            G = jax.tree.map(lambda a: a[0:2 * npair:2], x)
+            Mb = jax.tree.map(lambda a: a[1:2 * npair:2], x)
+            merged = jax.vmap(self._merge_one)(G, Mb)
+            pos = jnp.arange(npair)
+            out = jax.vmap(
+                lambda lm, p: self._finish_one(lm, (p % 2) == 1, caps_out)
+            )(merged, pos)
+            if count % 2 == 1:
+                carry = jax.tree.map(lambda a: a[count - 1], x)
+                cpos = nxt - 1
+                cfin = self._finish_one(carry, jnp.asarray(cpos % 2 == 1), caps_out)
+                out = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), out, cfin)
+            return out
+
+        self._progs[key] = jax.jit(prog)
+        return self._progs[key]
+
+    def _final_program(self, caps):
+        key = ("final", caps)
+        if key in self._progs:
+            return self._progs[key]
+
+        def prog(x: types.LocalMap) -> types.LocalMap:
+            root = jax.tree.map(lambda a: a[0], x)
+            return self._finish_one(root, jnp.asarray(True), caps)
+
+        self._progs[key] = jax.jit(prog)
+        return self._progs[key]
+
+    # -- full tree -----------------------------------------------------------
+    def run(self, maps: list[types.LocalMap], metrics=None) -> types.LocalMap:
+        t0 = time.time()
+        maps = [compact_mod.compact(lm, self.bucket, self.u_bucket)
+                for lm in maps]
+        t1 = time.time()
+        counts = [plan_mod.counts_of(lm) for lm in maps]
+        plans = plan_mod.plan_tree(counts, self.datatype, self.bucket,
+                                   self.u_bucket)
+        if not plans:
+            return maps[0]
+        maps = [lm.pad_to(*plans[0].caps_in) for lm in maps]
+        from ..parallel import level as plevel
+        stacked = plevel.stack_maps(maps)
+        t2 = time.time()
+        x = jax.device_put(stacked)
+        t3 = time.time()
+        for li, lp in enumerate(plans):
+            x = self._level_program(lp)(x)
+            self.join_count += lp.count // 2
+            if metrics is not None:
+                metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,
+                               M=lp.caps_out[0], N=lp.caps_out[1],
+                               wall=round(time.time() - t0, 4))
+            if self.progress:
+                log.info("Level %d dispatched (%d maps)", li + 1,
+                         (lp.count + 1) // 2)
+        y = self._final_program(plans[-1].caps_out)(x)
+        t4 = time.time()
+        host = jax.device_get(y)
+        self._last_timing = dict(compact=round(t1 - t0, 4),
+                                 stack=round(t2 - t1, 4),
+                                 upload=round(t3 - t2, 4),
+                                 levels=round(t4 - t3, 4),
+                                 get=round(time.time() - t4, 4))
+        return host

@@ -47,6 +47,9 @@ class JoinConfig(NamedTuple):
     # (LinearSFMImp.cpp:6994-7021), exact only when the pinned coordinate has
     # no information coupling (true for the reference's datasets).
     pin: str = "sign"
+    # Force the dense-W MXU Schur assembly regardless of system size (the
+    # device-resident tree uses this: no per-level max_obs statistics needed).
+    dense_schur: bool = False
 
 
 def _match_features(end_ids, end_valid, cur_ids, cur_valid, n1, out_cap):
@@ -125,7 +128,8 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
             refine_iters=cfg.refine_iters)
     else:
         Vinv = schur.inv3x3_sym(V)
-        S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo, cfg.max_obs)
+        S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,
+                                    cfg.max_obs, force_dense=cfg.dense_schur)
         x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,
                                 refine_iters=cfg.refine_iters)
         xp = x.reshape(Mo, 6)
@@ -240,7 +244,8 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
         xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
     else:
         Vinv = schur.inv3x3_sym(V)
-        S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo, cfg.max_obs)
+        S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,
+                                    cfg.max_obs, force_dense=cfg.dense_schur)
         if cfg.pin == "sign":
             E = E - jnp.take(S, fixc, axis=1) * sign
         x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,

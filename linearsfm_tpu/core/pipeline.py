@@ -30,22 +30,35 @@ def run(path: str, num: int, datatype: str,
         feat_path: str | None = None, method: str = "direct",
         progress: bool = True, solver: TreeSolver | None = None,
         ckpt_dir: str | None = None, resume: bool = False,
-        trace_dir: str | None = None, metrics=None):
+        trace_dir: str | None = None, metrics=None,
+        executor: str = "host"):
     """Full run; returns (final LocalMap, wall_seconds).
 
+    executor: "host" = host-driven scheduler (core/tree.py, supports
+    checkpoint/resume and per-level compaction stats); "device" =
+    device-resident tree (core/device_tree.py, fastest on TPU).
     trace_dir enables a jax.profiler trace of the solve (view in XProf).
     """
     maps = load_local_maps(path, num, datatype)
-    solver = solver or TreeSolver(datatype, method=method, progress=progress)
+    if solver is None:
+        if executor == "device":
+            from .device_tree import DeviceTreeSolver
+            solver = DeviceTreeSolver(datatype, method=method, progress=progress)
+        else:
+            solver = TreeSolver(datatype, method=method, progress=progress)
     import jax
     t0 = time.time()
+    kw = dict(metrics=metrics)
+    if not isinstance(solver, TreeSolver):
+        if ckpt_dir or resume:
+            log.warning("checkpoint/resume requires the host executor; ignoring")
+    else:
+        kw.update(ckpt_dir=ckpt_dir, resume=resume)
     if trace_dir:
         with jax.profiler.trace(trace_dir):
-            final = solver.run(maps, ckpt_dir=ckpt_dir, resume=resume,
-                               metrics=metrics)
+            final = solver.run(maps, **kw)
     else:
-        final = solver.run(maps, ckpt_dir=ckpt_dir, resume=resume,
-                           metrics=metrics)
+        final = solver.run(maps, **kw)
     wall = time.time() - t0
     log.info("Total Used Time:  %f  sec", wall)
 

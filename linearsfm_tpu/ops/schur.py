@@ -139,34 +139,37 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
     Uo = jnp.where((ui != uj)[:, None, None], U, 0.0)
     A = A.at[cols.reshape(-1), rows.reshape(-1)].add(Uo.reshape(-1))
 
-    # Wd: [6M, 3N]; Vd: block-diagonal [3N, 3N]
-    Wd = jnp.zeros((6 * M, 3 * N), dtype)
+    # Wd, Yd: [6M, 3N] scatters of the W blocks / per-entry W Vinv products.
+    # (Y as blockwise products + scatter, NOT Wd @ blockdiag(Vinv): the dense
+    # [3N,3N] block-diagonal would waste ~N x the FLOPs and O(9N^2) HBM.
+    # Duplicate (p,f) entries commute with the per-feature Vinv product, so
+    # scatter-add before/after multiplying agrees.)
     wrows = jnp.broadcast_to(wp[:, None, None] * 6 + r6[None, :, None], (KW, 6, 3))
     wcols = jnp.broadcast_to(wf[:, None, None] * 3 + r3[None, None, :], (KW, 6, 3))
+    Wd = jnp.zeros((6 * M, 3 * N), dtype)
     Wd = Wd.at[wrows.reshape(-1), wcols.reshape(-1)].add(W.reshape(-1))
-    Vd = jnp.zeros((3 * N, 3 * N), dtype)
-    fidx = jnp.arange(N)
-    vrows = jnp.broadcast_to(fidx[:, None, None] * 3 + r3[None, :, None], (N, 3, 3))
-    vcols = jnp.broadcast_to(fidx[:, None, None] * 3 + r3[None, None, :], (N, 3, 3))
-    Vd = Vd.at[vrows.reshape(-1), vcols.reshape(-1)].set(Vinv.reshape(-1))
+    Yb = jnp.einsum("kif,kfl->kil", W, Vinv[wf])
+    Yd = jnp.zeros((6 * M, 3 * N), dtype)
+    Yd = Yd.at[wrows.reshape(-1), wcols.reshape(-1)].add(Yb.reshape(-1))
 
-    Y = Wd @ Vd
-    S = A - Y @ Wd.T
-    E = eP.reshape(-1) - Y @ eF.reshape(-1)
+    S = A - Yd @ Wd.T
+    E = eP.reshape(-1) - Yd @ eF.reshape(-1)
     return S, E
 
 
-def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int):
+def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
+                   force_dense: bool = False):
     """Dense reduced camera system: S[6M,6M], E[6M].
 
     S = scatter(U) - sum_f W_f Vinv_f W_f^T, grouped per feature with a static
     max-observation bound (matches the reference's per-feature double loop,
-    LinearSFMImp.cpp:2244-2332). Root-scale joins switch to the dense-W MXU
-    path (_assemble_schur_dense).
+    LinearSFMImp.cpp:2244-2332). Root-scale joins (and the device-resident
+    tree, which has no per-level max_obs statistics) use the dense-W MXU path
+    (_assemble_schur_dense).
     """
     N = Vinv.shape[0]
     dtype = U.dtype
-    if 6 * M >= _DENSE_SCHUR_DIM:
+    if force_dense or 6 * M >= _DENSE_SCHUR_DIM:
         return _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M)
     ui, uj = Uij[:, 0], Uij[:, 1]
     wp, wf = Wpf[:, 0], Wpf[:, 1]
