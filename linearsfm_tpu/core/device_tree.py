@@ -68,28 +68,48 @@ class DeviceTreeSolver:
 
     def __init__(self, datatype: str, method: str = "refine",
                  refine_iters: int = 3, bucket: int = 16, u_bucket: int = 64,
-                 pin: str = "sign", progress: bool = False):
+                 pin: str = "sign", progress: bool = False,
+                 mixed_max_m: int = 32):
         assert datatype in ("stereo", "mono")
         self.datatype = datatype
-        self.cfg = join_mod.JoinConfig(max_obs=1, method=method,
-                                       refine_iters=refine_iters, pin=pin,
-                                       dense_schur=True)
+        self.method = method
+        self.refine_iters = refine_iters
+        self.pin = pin
         self.bucket = bucket
         self.u_bucket = u_bucket
         self.progress = progress
+        # Mixed-precision policy (method="refine" only): tree levels whose
+        # fused camera system has <= mixed_max_m poses run the information
+        # path in f32 — cond(S) grows with trajectory length, so low levels
+        # are far from the f32 cliff while carrying most of the batch work.
+        # Levels above the threshold (and the root) use full f64 information
+        # with f32-factor+refinement solves.
+        self.mixed_max_m = mixed_max_m if method == "refine" else 0
         self._progs: dict = {}
         self.join_count = 0
 
-    # -- building blocks -----------------------------------------------------
-    def _merge_one(self, g: types.LocalMap, m: types.LocalMap) -> types.LocalMap:
-        if self.datatype == "stereo":
-            end = congruence.transform_map_stereo(g, m.gauge.ref)
-            return join_mod.join_stereo(end, m, self.cfg)
-        end = congruence.transform_map_mono(g, m.gauge.ref, m.gauge.scap,
-                                            m.gauge.fix)
-        return join_mod.join_mono(end, m, self.cfg)
+    def _cfg(self, joined_m: int) -> join_mod.JoinConfig:
+        if joined_m <= self.mixed_max_m:
+            return join_mod.JoinConfig(
+                max_obs=1, method="direct", pin=self.pin, dense_schur=True,
+                info_dtype="float32")
+        return join_mod.JoinConfig(
+            max_obs=1, method=self.method, refine_iters=self.refine_iters,
+            pin=self.pin, dense_schur=True, info_dtype="float64")
 
-    def _finish_one(self, lm: types.LocalMap, need, caps_out):
+    # -- building blocks -----------------------------------------------------
+    def _merge_one(self, g: types.LocalMap, m: types.LocalMap,
+                   cfg: join_mod.JoinConfig) -> types.LocalMap:
+        if self.datatype == "stereo":
+            end = congruence.transform_map_stereo(g, m.gauge.ref,
+                                                  info_dtype=cfg.info_dtype)
+            return join_mod.join_stereo(end, m, cfg)
+        end = congruence.transform_map_mono(g, m.gauge.ref, m.gauge.scap,
+                                            m.gauge.fix,
+                                            info_dtype=cfg.info_dtype)
+        return join_mod.join_mono(end, m, cfg)
+
+    def _finish_one(self, lm: types.LocalMap, need, caps_out, info_dtype):
         """Conditional re-gauge to the final frame, then compact to caps_out.
 
         `need` already encodes the position parity; the data-dependent part
@@ -99,34 +119,42 @@ class DeviceTreeSolver:
         """
         g = lm.gauge
         if self.datatype == "stereo":
-            t = congruence.transform_map_stereo(lm, g.fref)
+            t = congruence.transform_map_stereo(lm, g.fref,
+                                                info_dtype=info_dtype)
         else:
-            t = congruence.transform_map_mono(lm, g.fref, g.fscap, g.ffix)
+            t = congruence.transform_map_mono(lm, g.fref, g.fscap, g.ffix,
+                                              info_dtype=info_dtype)
         base = pad_to_device(lm, t.M, t.N, t.KU, t.KW)
+        base = dataclasses.replace(
+            base, U=base.U.astype(t.U.dtype), W=base.W.astype(t.W.dtype),
+            V=base.V.astype(t.V.dtype))
         sel = _select(need & (g.ref > g.fref), t, base)
         return dcompact.compact_device(sel, *caps_out)[0]
 
     # -- level program ---------------------------------------------------------
     def _level_program(self, lp: plan_mod.LevelPlan):
-        key = (lp.count, lp.caps_in, lp.caps_out)
+        key = (lp.count, lp.caps_in, lp.caps_out, self._cfg(2 * lp.caps_in[0]))
         if key in self._progs:
             return self._progs[key]
         count = lp.count
         npair, nxt = count // 2, (count + 1) // 2
         caps_out = lp.caps_out
+        cfg = self._cfg(2 * lp.caps_in[0])
+        idt = cfg.info_dtype
 
         def prog(x: types.LocalMap) -> types.LocalMap:
             G = jax.tree.map(lambda a: a[0:2 * npair:2], x)
             Mb = jax.tree.map(lambda a: a[1:2 * npair:2], x)
-            merged = jax.vmap(self._merge_one)(G, Mb)
+            merged = jax.vmap(lambda g, m: self._merge_one(g, m, cfg))(G, Mb)
             pos = jnp.arange(npair)
             out = jax.vmap(
-                lambda lm, p: self._finish_one(lm, (p % 2) == 1, caps_out)
+                lambda lm, p: self._finish_one(lm, (p % 2) == 1, caps_out, idt)
             )(merged, pos)
             if count % 2 == 1:
                 carry = jax.tree.map(lambda a: a[count - 1], x)
                 cpos = nxt - 1
-                cfin = self._finish_one(carry, jnp.asarray(cpos % 2 == 1), caps_out)
+                cfin = self._finish_one(carry, jnp.asarray(cpos % 2 == 1),
+                                        caps_out, idt)
                 out = jax.tree.map(
                     lambda a, b: jnp.concatenate([a, b[None]]), out, cfin)
             return out
@@ -141,7 +169,11 @@ class DeviceTreeSolver:
 
         def prog(x: types.LocalMap) -> types.LocalMap:
             root = jax.tree.map(lambda a: a[0], x)
-            return self._finish_one(root, jnp.asarray(True), caps)
+            out = self._finish_one(root, jnp.asarray(True), caps, "float64")
+            return dataclasses.replace(
+                out, U=out.U.astype(out.poses.dtype),
+                W=out.W.astype(out.poses.dtype),
+                V=out.V.astype(out.poses.dtype))
 
         self._progs[key] = jax.jit(prog)
         return self._progs[key]

@@ -50,6 +50,10 @@ class JoinConfig(NamedTuple):
     # Force the dense-W MXU Schur assembly regardless of system size (the
     # device-resident tree uses this: no per-level max_obs statistics needed).
     dense_schur: bool = False
+    # Information-path dtype ("float32"/"float64"/None=inherit from inputs).
+    # The solved state is always emitted in the state dtype; f32 info is the
+    # low-tree-level fast path where cond(S) is small (core/device_tree.py).
+    info_dtype: str | None = None
 
 
 def _match_features(end_ids, end_valid, cur_ids, cur_valid, n1, out_cap):
@@ -99,20 +103,24 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
     # (feature values are solver outputs; no need to merge priors here)
 
     # ---- information blocks ------------------------------------------------
-    U = jnp.concatenate([end.U, cur.U])
+    idt = jnp.dtype(cfg.info_dtype) if cfg.info_dtype else end.U.dtype
+    ic = lambda x: x.astype(idt)
+    U = jnp.concatenate([ic(end.U), ic(cur.U)])
     Uij = jnp.concatenate([end.Uij, cur.Uij + M1])
-    W = jnp.concatenate([end.W, cur.W])
+    W = jnp.concatenate([ic(end.W), ic(cur.W)])
     Wpf2 = jnp.stack([cur.Wpf[:, 0] + M1, joint2g[cur.Wpf[:, 1]]], axis=1)
     Wpf = jnp.concatenate([end.Wpf, Wpf2])
-    V = jnp.zeros((No, 3, 3), end.dtype)
-    V = V.at[:N1].set(end.V)
-    V = V.at[joint2].add(cur.V, mode="drop")
+    V = jnp.zeros((No, 3, 3), idt)
+    V = V.at[:N1].set(ic(end.V))
+    V = V.at[joint2].add(ic(cur.V), mode="drop")
 
     # ---- information vectors e = I x per map (LinearSFMImp.cpp:2645-2931) --
-    eP1, eF1 = schur.info_vector(end.poses, end.feats, end.U, end.Uij, end.W, end.Wpf, end.V)
-    eP2, eF2 = schur.info_vector(cur.poses, cur.feats, cur.U, cur.Uij, cur.W, cur.Wpf, cur.V)
+    eP1, eF1 = schur.info_vector(end.poses, end.feats, ic(end.U), end.Uij,
+                                 ic(end.W), end.Wpf, ic(end.V))
+    eP2, eF2 = schur.info_vector(cur.poses, cur.feats, ic(cur.U), cur.Uij,
+                                 ic(cur.W), cur.Wpf, ic(cur.V))
     eP = jnp.concatenate([eP1, eP2])
-    eF = jnp.zeros((No, 3), end.dtype)
+    eF = jnp.zeros((No, 3), idt)
     eF = eF.at[:N1].set(eF1)
     eF = eF.at[joint2].add(eF2, mode="drop")
 
@@ -134,6 +142,8 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
                                 refine_iters=cfg.refine_iters)
         xp = x.reshape(Mo, 6)
         xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
+    xp = xp.astype(end.dtype)
+    xf = xf.astype(end.dtype)
 
     return types.LocalMap(
         pose_ids=pose_ids, poses=xp, feat_ids=feat_ids, feats=xf,
@@ -170,14 +180,16 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     cur_poses = jnp.asarray(cur.poses).at[cscap, 3:6].set(cur_ang)
 
     # ---- drop zero-information blocks touching the reference pose ---------
+    idt = jnp.dtype(cfg.info_dtype) if cfg.info_dtype else end.U.dtype
+    ic = lambda x: x.astype(idt)
     end_keep_u = (end.Uij[:, 0] != pos1) & (end.Uij[:, 1] != pos1)
-    endU = jnp.where(end_keep_u[:, None, None], end.U, 0.0)
+    endU = jnp.where(end_keep_u[:, None, None], ic(end.U), 0.0)
     end_keep_w = end.Wpf[:, 0] != pos1
-    endW = jnp.where(end_keep_w[:, None, None], end.W, 0.0)
+    endW = jnp.where(end_keep_w[:, None, None], ic(end.W), 0.0)
     cur_keep_u = (cur.Uij[:, 0] != cref) & (cur.Uij[:, 1] != cref)
-    curU = jnp.where(cur_keep_u[:, None, None], cur.U, 0.0)
+    curU = jnp.where(cur_keep_u[:, None, None], ic(cur.U), 0.0)
     cur_keep_w = cur.Wpf[:, 0] != cref
-    curW = jnp.where(cur_keep_w[:, None, None], cur.W, 0.0)
+    curW = jnp.where(cur_keep_w[:, None, None], ic(cur.W), 0.0)
 
     # ---- pose identification: cur's ref/scap -> end's slots (:7383-7409) ---
     slotmap2 = jnp.arange(M2, dtype=jnp.int32) + M1
@@ -210,17 +222,19 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     W = jnp.concatenate([endW, curW])
     Wpf2 = jnp.stack([slotmap2[cur.Wpf[:, 0]], joint2g[cur.Wpf[:, 1]]], axis=1)
     Wpf = jnp.concatenate([end.Wpf, Wpf2])
-    V = jnp.zeros((No, 3, 3), dtype)
-    V = V.at[:N1].set(end.V)
-    V = V.at[joint2].add(cur.V, mode="drop")
+    V = jnp.zeros((No, 3, 3), idt)
+    V = V.at[:N1].set(ic(end.V))
+    V = V.at[joint2].add(ic(cur.V), mode="drop")
 
     # ---- information vectors (post-drop, post-wraparound) ------------------
-    eP1, eF1 = schur.info_vector(end_poses, end.feats, endU, end.Uij, endW, end.Wpf, end.V)
-    eP2, eF2 = schur.info_vector(cur_poses, cur.feats, curU, cur.Uij, curW, cur.Wpf, cur.V)
-    eP = jnp.zeros((Mo, 6), dtype)
+    eP1, eF1 = schur.info_vector(end_poses, end.feats, endU, end.Uij, endW,
+                                 end.Wpf, ic(end.V))
+    eP2, eF2 = schur.info_vector(cur_poses, cur.feats, curU, cur.Uij, curW,
+                                 cur.Wpf, ic(cur.V))
+    eP = jnp.zeros((Mo, 6), idt)
     eP = eP.at[:M1].set(eP1)
     eP = eP.at[slotmap2].add(eP2)
-    eF = jnp.zeros((No, 3), dtype)
+    eF = jnp.zeros((No, 3), idt)
     eF = eF.at[:N1].set(eF1)
     eF = eF.at[joint2].add(eF2, mode="drop")
 
@@ -232,7 +246,7 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     fixed |= (coord >= 6 * pos1) & (coord < 6 * pos1 + 6)   # reference block
     fixc = 6 * pos2 + fix
     fixed |= coord == fixc                                  # pinned scale coord
-    sign = end.gauge.sign.astype(dtype)
+    sign = jnp.asarray(end.gauge.sign).astype(idt)
     if cfg.mesh is not None:
         # NB with gauge-conditioned inputs the pinned coordinate carries zero
         # information, so no RHS correction is needed on the sharded path.
@@ -261,6 +275,8 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
             # stVal[Fix] = Sign afterwards (:7010-7026)
             xf = schur.backsub_features(W, Wpf, Vinv, eF, xp)
             xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
+    xp = xp.astype(dtype)
+    xf = xf.astype(dtype)
 
     return types.LocalMap(
         pose_ids=pose_ids, poses=xp, feat_ids=feat_ids, feats=xf,

@@ -118,9 +118,15 @@ def _pose_jacs_stereo(new_poses, q):
     return jac  # (Dp[M,6,6], Cp[M,6,6])
 
 
-def transform_map_stereo(lm: types.LocalMap, new_ref_id) -> types.LocalMap:
+def transform_map_stereo(lm: types.LocalMap, new_ref_id,
+                         info_dtype=None) -> types.LocalMap:
     """Re-express `lm` in the frame of pose `new_ref_id` and propagate the
     information matrix (lmj_Transform_PF3DStereo, LinearSFMImp.cpp:349-1924).
+
+    info_dtype: dtype of the congruence products (the information path). The
+    state map and its autodiff Jacobians stay in the state dtype; the J^T I J
+    block products — the hot ops — run in info_dtype (mixed-precision policy:
+    f32 at low tree levels where cond(S) is small, see core/device_tree.py).
     """
     old_ref_id = lm.gauge.ref
     new_ids, new_poses, new_feats = G.transform_state_stereo(
@@ -139,7 +145,10 @@ def transform_map_stereo(lm: types.LocalMap, new_ref_id) -> types.LocalMap:
     Dp = Dp.at[r_slot].set(Dinv)
     Cp = Cp.at[r_slot].set(0.0)
 
-    em = congruence_emit(lm.U, lm.Uij, lm.W, lm.Wpf, lm.V, Dp, Df, Cp, Cf, r_slot)
+    idt = jnp.dtype(info_dtype) if info_dtype is not None else lm.U.dtype
+    cast = lambda x: x.astype(idt)
+    em = congruence_emit(cast(lm.U), lm.Uij, cast(lm.W), lm.Wpf, cast(lm.V),
+                         cast(Dp), cast(Df), cast(Cp), cast(Cf), r_slot)
 
     M, N = lm.M, lm.N
     U = jnp.concatenate([em["U_t"], em["newU_r"], em["rr"][None]], axis=0)
@@ -165,8 +174,11 @@ def transform_map_stereo(lm: types.LocalMap, new_ref_id) -> types.LocalMap:
     )
 
 
-def transform_map_mono(lm: types.LocalMap, new_ref_id, new_scap_id, new_fix) -> types.LocalMap:
-    """Mono gauge+scale transform (lmj_Transform_PF3DMono, LinearSFMImp.cpp:3173-6509)."""
+def transform_map_mono(lm: types.LocalMap, new_ref_id, new_scap_id, new_fix,
+                       info_dtype=None) -> types.LocalMap:
+    """Mono gauge+scale transform (lmj_Transform_PF3DMono, LinearSFMImp.cpp:3173-6509).
+
+    info_dtype: see transform_map_stereo."""
     old = lm.gauge
     new_poses, new_feats, sign = G.transform_state_mono(
         lm.pose_ids, lm.poses, lm.feats, new_ref_id, new_scap_id, new_fix)
@@ -212,8 +224,11 @@ def transform_map_mono(lm: types.LocalMap, new_ref_id, new_scap_id, new_fix) -> 
     C2p = jnp.where(s_slot == p1, 0.0, C2p)                   # J3 kill (:3709)
     C2f = jnp.where(s_slot == p1, 0.0, C2f)
 
-    em = congruence_emit(lm.U, lm.Uij, lm.W, lm.Wpf, lm.V, Dp, Df, Cp, Cf,
-                         r_slot, C2p=C2p, C2f=C2f, s_slot=s_slot)
+    idt = jnp.dtype(info_dtype) if info_dtype is not None else lm.U.dtype
+    cast = lambda x: x.astype(idt)
+    em = congruence_emit(cast(lm.U), lm.Uij, cast(lm.W), lm.Wpf, cast(lm.V),
+                         cast(Dp), cast(Df), cast(Cp), cast(Cf),
+                         r_slot, C2p=cast(C2p), C2f=cast(C2f), s_slot=s_slot)
 
     M, N = lm.M, lm.N
     ar = jnp.arange(M, dtype=jnp.int32)

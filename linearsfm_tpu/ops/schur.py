@@ -52,7 +52,11 @@ def inv3x3_sym(V: jax.Array) -> jax.Array:
 
 def info_vector(poses, feats, U, Uij, W, Wpf, V):
     """(eP[M,6], eF[N,3]) = I @ x, accumulated blockwise like the join loops
-    (LinearSFMImp.cpp:2669-2907)."""
+    (LinearSFMImp.cpp:2669-2907). Runs in the information dtype (states are
+    cast down to match — otherwise a mixed-precision U would silently promote
+    the products back to emulated f64)."""
+    poses = poses.astype(U.dtype)
+    feats = feats.astype(U.dtype)
     M, N = poses.shape[0], feats.shape[0]
     ui, uj = Uij[:, 0], Uij[:, 1]
     wp, wf = Wpf[:, 0], Wpf[:, 1]
@@ -215,6 +219,7 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
 
 def backsub_features(W, Wpf, Vinv, eF, x_poses):
     """x_f = Vinv_f (eF_f - sum W^T x_p) (pba_solveFeatures)."""
+    x_poses = x_poses.astype(W.dtype)
     N = Vinv.shape[0]
     wp, wf = Wpf[:, 0], Wpf[:, 1]
     wtx = jax.ops.segment_sum(jnp.einsum("kif,ki->kf", W, x_poses[wp]), wf, N)

@@ -57,14 +57,16 @@ class Gauge:
 
     @staticmethod
     def stereo(ref: int, fref: int | None = None) -> "Gauge":
-        i = lambda v: jnp.asarray(v, jnp.int32)
+        # numpy scalars: stay host-side until a jit boundary (a jnp scalar
+        # would live on the TPU and cost one tunnel RTT per host read).
+        i = lambda v: np.int32(v)
         return Gauge(i(ref), i(-1), i(-1), i(1), i(ref if fref is None else fref), i(-1), i(-1))
 
     @staticmethod
     def mono(ref: int, scap: int, fix: int, sign: int = 1,
              fref: int | None = None, fscap: int | None = None,
              ffix: int | None = None) -> "Gauge":
-        i = lambda v: jnp.asarray(v, jnp.int32)
+        i = lambda v: np.int32(v)
         return Gauge(
             i(ref), i(scap), i(fix), i(sign),
             i(ref if fref is None else fref),
