@@ -184,9 +184,9 @@ class DeviceTreeSolver:
         maps = [compact_mod.compact(lm, self.bucket, self.u_bucket)
                 for lm in maps]
         t1 = time.time()
-        counts = [plan_mod.counts_of(lm) for lm in maps]
-        plans = plan_mod.plan_tree(counts, self.datatype, self.bucket,
-                                   self.u_bucket)
+        syms = [plan_mod.sym_of(lm) for lm in maps]
+        plans = plan_mod.plan_tree_exact(syms, self.datatype, self.bucket,
+                                         self.u_bucket)
         if not plans:
             return maps[0]
         maps = [lm.pad_to(*plans[0].caps_in) for lm in maps]

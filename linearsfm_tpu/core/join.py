@@ -134,6 +134,12 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
             U, Uij, W, Wpf, V, eP, eF, Mo, cfg.max_obs, cfg.mesh,
             axis=cfg.mesh_axis, fixed_mask=fixed, method=cfg.method,
             refine_iters=cfg.refine_iters)
+    elif cfg.method == "refine":
+        # f32 MXU assembly + factorization, f64 block-list residual
+        # refinement — no f64 matmul anywhere (ops/schur.py).
+        xp, xf = schur.solve_full_mixed(
+            U, Uij, W, Wpf, V, eP, eF, Mo, fixed, max_obs=cfg.max_obs,
+            force_dense=cfg.dense_schur, iters=cfg.refine_iters)
     else:
         Vinv = schur.inv3x3_sym(V)
         S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,
@@ -256,6 +262,11 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
             axis=cfg.mesh_axis, fixed_mask=fixed, method=cfg.method,
             refine_iters=cfg.refine_iters)
         xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
+    elif cfg.method == "refine" and cfg.pin == "sign":
+        xp, xf = schur.solve_full_mixed(
+            U, Uij, W, Wpf, V, eP, eF, Mo, fixed, max_obs=cfg.max_obs,
+            force_dense=cfg.dense_schur, iters=cfg.refine_iters,
+            fixc=fixc, sign=sign)
     else:
         Vinv = schur.inv3x3_sym(V)
         S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,

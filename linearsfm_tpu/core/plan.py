@@ -87,3 +87,134 @@ def plan_tree(counts: list[Counts], datatype: str, bucket: int = 16,
 def counts_of(lm: types.LocalMap) -> Counts:
     """Valid counts of a host-compacted map (n_U/n_W are exact post-compact)."""
     return Counts(int(lm.n_poses), int(lm.n_feats), int(lm.n_U), int(lm.n_W))
+
+
+# ---------------------------------------------------------------------------
+# Exact symbolic plan.
+#
+# The count-based plan above is conservative (no feature dedup: n = n1+n2),
+# which doubles the dense-Schur width at every shared-feature join. But the
+# whole tree schedule is known on the host in *id space*: which pose/feature
+# ids each node holds, which blocks exist, and even the data-dependent
+# re-gauge condition `ref > fref` (an id comparison,
+# /root/reference/linux/src/LinearSFMImp/LinearSFMImp.cpp:1997) — so exact
+# per-node counts (up to numerically-zero block drops, which only shrink)
+# can be simulated with plain set arithmetic before anything compiles.
+# ---------------------------------------------------------------------------
+
+_BIG = 1 << 32
+
+
+def _uk(i: int, j: int) -> int:
+    return (i * _BIG + j) if i <= j else (j * _BIG + i)
+
+
+@dataclasses.dataclass
+class SymNode:
+    """Id-space shadow of a LocalMap: which ids/blocks exist, not values."""
+    P: set        # pose ids
+    F: set        # feature ids
+    KU: set       # canonical (min,max) pose-id pair keys
+    KW: set       # pose_id * BIG + feat_id keys
+    ref: int
+    scap: int     # -1 for stereo
+    fref: int
+    fscap: int
+
+    def counts(self) -> Counts:
+        return Counts(len(self.P), len(self.F), len(self.KU), len(self.KW))
+
+
+def sym_of(lm: types.LocalMap) -> SymNode:
+    """Build the id-space shadow of a host-compacted LocalMap."""
+    import numpy as np
+    pid = np.asarray(lm.pose_ids)
+    fid = np.asarray(lm.feat_ids)
+    nU, nW = int(lm.n_U), int(lm.n_W)
+    Uij = np.asarray(lm.Uij)[:nU]
+    Wpf = np.asarray(lm.Wpf)[:nW]
+    ui, uj = pid[Uij[:, 0]], pid[Uij[:, 1]]
+    KU = {_uk(int(a), int(b)) for a, b in zip(ui, uj)}
+    KW = {int(p) * _BIG + int(f)
+          for p, f in zip(pid[Wpf[:, 0]], fid[Wpf[:, 1]])}
+    g = lm.gauge
+    return SymNode(
+        P=set(int(x) for x in pid[pid >= 0]),
+        F=set(int(x) for x in fid[fid >= 0]),
+        KU=KU, KW=KW,
+        ref=int(g.ref), scap=int(g.scap),
+        fref=int(g.fref), fscap=int(g.fscap))
+
+
+def _sym_transform(n: SymNode, new_ref: int, new_scap: int,
+                   datatype: str) -> SymNode:
+    """Id-space effect of transform_map_{stereo,mono} + compaction."""
+    r = n.ref
+    if datatype == "stereo":
+        # the slot holding new_ref is re-tagged to the old ref
+        # (LinearSFMImp.cpp:416-417): substitute the id in every key.
+        P = (n.P - {new_ref}) | {r}
+
+        def sub(i):
+            return r if i == new_ref else i
+        KU = {_uk(sub(k // _BIG), sub(k % _BIG)) for k in n.KU}
+        KW = {sub(k // _BIG) * _BIG + (k % _BIG) for k in n.KW}
+        KU |= {_uk(p, r) for p in P} | {_uk(r, r)}
+        KW |= {r * _BIG + f for f in n.F}
+        return SymNode(P, set(n.F), KU, KW, new_ref, -1, n.fref, n.fscap)
+    s = n.scap
+    KU = set(n.KU)
+    KW = set(n.KW)
+    for q in (r, s):
+        KU |= {_uk(p, q) for p in n.P}
+        KW |= {q * _BIG + f for f in n.F}
+    KU |= {_uk(r, r), _uk(s, s), _uk(r, s)}
+    # gauge conditioning zeroes every block row/col of the NEW ref pose and
+    # the new scap's pinned coordinate; only whole-ref-pose blocks vanish.
+    KU = {k for k in KU if k // _BIG != new_ref and k % _BIG != new_ref}
+    KW = {k for k in KW if k // _BIG != new_ref}
+    return SymNode(set(n.P), set(n.F), KU, KW, new_ref, new_scap,
+                   n.fref, n.fscap)
+
+
+def _sym_join(g: SymNode, m: SymNode, datatype: str) -> SymNode:
+    gt = _sym_transform(g, m.ref, m.scap, datatype)
+    if datatype == "stereo":
+        return SymNode(gt.P | m.P, gt.F | m.F, gt.KU | m.KU, gt.KW | m.KW,
+                       m.ref, -1, g.fref, g.fscap)
+    KU = gt.KU | m.KU
+    KW = gt.KW | m.KW
+    # blocks touching the zero-information joint reference pose are dropped
+    # (LinearSFMImp.cpp:7482, :7619).
+    rr = m.ref
+    KU = {k for k in KU if k // _BIG != rr and k % _BIG != rr}
+    KW = {k for k in KW if k // _BIG != rr}
+    return SymNode(gt.P | m.P, gt.F | m.F, KU, KW,
+                   m.ref, m.scap, g.fref, g.fscap)
+
+
+def _sym_finish(n: SymNode, pos: int, datatype: str) -> SymNode:
+    """Conditional re-gauge at odd output positions (exact: id comparison)."""
+    if pos % 2 == 1 and n.ref > n.fref:
+        return _sym_transform(n, n.fref, n.fscap, datatype)
+    return n
+
+
+def plan_tree_exact(syms: list[SymNode], datatype: str, bucket: int = 16,
+                    u_bucket: int = 64) -> list[LevelPlan]:
+    """Exact per-level capacity plan from the id-space tree simulation."""
+    plans = []
+    while len(syms) > 1:
+        count = len(syms)
+        npair = count // 2
+        nxt = (count + 1) // 2
+        caps_in = _caps([s.counts() for s in syms], bucket, u_bucket)
+        out = []
+        for i in range(nxt):
+            n = (_sym_join(syms[2 * i], syms[2 * i + 1], datatype)
+                 if i < npair else syms[2 * i])
+            out.append(_sym_finish(n, i, datatype))
+        caps_out = _caps([s.counts() for s in out], bucket, u_bucket)
+        plans.append(LevelPlan(count, caps_in, caps_out))
+        syms = out
+    return plans

@@ -217,6 +217,88 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
     return S.reshape(6 * M, 6 * M), E.reshape(6 * M)
 
 
+def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
+                     max_obs: int = 1, force_dense: bool = False,
+                     iters: int = 3, fixc=None, sign=None):
+    """Mixed-precision fusion solve: f32 Schur factorization + full-system
+    f64 refinement.
+
+    The reference factorizes the reduced camera system in f64 CHOLMOD
+    (pba_solveCholmodLM, LinearSFMImp.cpp:2380-2449). On TPU, f64 matmuls are
+    emulated and dominate the upper tree levels, so here EVERY matmul-shaped
+    op (dense Schur assembly, Cholesky, triangular solves) runs in f32 on the
+    MXU; full precision is recovered by iterative refinement whose residuals
+    ``r = e - I x`` are computed **directly from the f64 block lists** (cheap
+    VPU segment-sums — no f64 dense matrix is ever formed). The correction
+    step reuses the f32 Schur factor as the preconditioner:
+
+        dx_p = S32^{-1} (r_P - W V^{-1} r_F),  dx_f = V32^{-1} (r_F - W^T dx_p)
+
+    Per sweep the error contracts by ~cond(S) * eps_f32 — the same rate as
+    solve.cholesky_solve_refine, but without materializing S in f64.
+
+    Args:
+      U..eF: block-sparse information + info vectors in the accumulation
+        dtype (f64 at the upper tree levels).
+      fixed_mask: bool[6M], True = gauge-fixed coordinate (solution pinned).
+      fixc, sign: mono scale pin — scalar index into [6M] and the +-1 value
+        the pinned coordinate takes (join_mono pin="sign" semantics).
+
+    Returns (x_p[M,6], x_f[N,3]) in the input dtype.
+    """
+    from . import solve as solve_mod
+
+    dt = U.dtype
+    f32 = jnp.float32
+    N = V.shape[0]
+    wp, wf = Wpf[:, 0], Wpf[:, 1]
+
+    U32, W32, V32 = U.astype(f32), W.astype(f32), V.astype(f32)
+    Vinv32 = inv3x3_sym(V32)
+    S32, E32 = assemble_schur(U32, Uij, W32, Wpf, Vinv32,
+                              eP.astype(f32), eF.astype(f32), M,
+                              max_obs, force_dense=force_dense)
+    if fixc is not None:
+        E32 = E32 - jnp.take(S32, fixc, axis=1) * jnp.asarray(sign, f32)
+    S32, E32 = solve_mod.mask_gauge(S32, E32, fixed_mask)
+    L = jnp.linalg.cholesky(S32)
+
+    def sch32(rhs32):
+        y = jax.scipy.linalg.solve_triangular(L, rhs32, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    freeP = (~fixed_mask).reshape(M, 6)
+
+    def pin(xp):
+        if fixc is None:
+            return xp
+        flat = xp.reshape(-1).at[fixc].set(jnp.asarray(sign, xp.dtype))
+        return flat.reshape(M, 6)
+
+    xp = pin(sch32(E32).reshape(M, 6).astype(dt))
+    xf = backsub_features(W32, Wpf, Vinv32, eF.astype(f32),
+                          xp.astype(f32)).astype(dt)
+
+    Y32 = jnp.einsum("kiz,kzf->kif", W32, Vinv32[wf])
+
+    def body(_, carry):
+        xp, xf = carry
+        iP, iF = info_vector(xp, xf, U, Uij, W, Wpf, V)
+        rP = eP - iP
+        rF = (eF - iF).astype(f32)
+        red = rP.astype(f32) - jax.ops.segment_sum(
+            jnp.einsum("kif,kf->ki", Y32, rF[wf]), wp, M)
+        red = jnp.where(freeP, red, 0.0)
+        dxp32 = sch32(red.reshape(-1)).reshape(M, 6)
+        wtx = jax.ops.segment_sum(
+            jnp.einsum("kif,ki->kf", W32, dxp32[wp]), wf, N)
+        dxf = jnp.einsum("nij,nj->ni", Vinv32, rF - wtx)
+        return xp + dxp32.astype(dt), xf + dxf.astype(dt)
+
+    xp, xf = jax.lax.fori_loop(0, iters, body, (xp, xf))
+    return pin(xp), xf
+
+
 def backsub_features(W, Wpf, Vinv, eF, x_poses):
     """x_f = Vinv_f (eF_f - sum W^T x_p) (pba_solveFeatures)."""
     x_poses = x_poses.astype(W.dtype)

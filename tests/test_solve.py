@@ -33,6 +33,89 @@ def test_refine_recovers_f64_accuracy():
     assert ed < 1e-9
 
 
+def test_solve_full_mixed_matches_dense_f64():
+    """f32-assembled Schur + f64 block-residual refinement == dense f64 solve."""
+    import jax.numpy as jnp
+    from linearsfm_tpu.ops import schur
+    import helpers as H
+    rng = np.random.default_rng(52)
+    M, N = 12, 30
+    U, Uij, W, Wpf, V = H.random_info_blocks(rng, M, N, obs_per_feat=4)
+    d = 6 * M + 3 * N
+    x_true = rng.standard_normal(d)
+    I = np.zeros((d, d))
+    for k, (i, j) in enumerate(Uij):
+        I[6*i:6*i+6, 6*j:6*j+6] += U[k]
+        if i != j:
+            I[6*j:6*j+6, 6*i:6*i+6] += U[k].T
+    for k, (p, f) in enumerate(Wpf):
+        I[6*p:6*p+6, 6*M+3*f:6*M+3*f+3] += W[k]
+        I[6*M+3*f:6*M+3*f+3, 6*p:6*p+6] += W[k].T
+    for f in range(N):
+        I[6*M+3*f:6*M+3*f+3, 6*M+3*f:6*M+3*f+3] += V[f]
+    e = I @ x_true
+    eP, eF = e[:6*M].reshape(M, 6), e[6*M:].reshape(N, 3)
+    fixed = jnp.zeros(6 * M, bool)
+    xp0, xf0 = schur.solve_full_mixed(
+        jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
+        jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
+        jnp.asarray(eF), M, fixed, max_obs=8, iters=0)
+    xp, xf = schur.solve_full_mixed(
+        jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
+        jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
+        jnp.asarray(eF), M, fixed, max_obs=8, iters=4)
+    got = np.concatenate([np.asarray(xp).ravel(), np.asarray(xf).ravel()])
+    got0 = np.concatenate([np.asarray(xp0).ravel(), np.asarray(xf0).ravel()])
+    e0 = np.abs(got0 - x_true).max()
+    er = np.abs(got - x_true).max()
+    assert er < 1e-9, (e0, er)
+    assert er < e0 * 1e-2  # refinement actually contracts
+
+    # dense-W assembly path (the device-resident tree's configuration)
+    xpd, xfd = schur.solve_full_mixed(
+        jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
+        jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
+        jnp.asarray(eF), M, fixed, force_dense=True, iters=4)
+    np.testing.assert_allclose(np.asarray(xpd), np.asarray(xp), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(xfd), np.asarray(xf), atol=1e-9)
+
+
+def test_solve_full_mixed_pinned_coordinate():
+    """The mono scale-pin: x[fixc] lands exactly at sign, others refined."""
+    import jax.numpy as jnp
+    from linearsfm_tpu.ops import schur
+    import helpers as H
+    rng = np.random.default_rng(53)
+    M, N = 6, 14
+    U, Uij, W, Wpf, V = H.random_info_blocks(rng, M, N, obs_per_feat=3)
+    d = 6 * M + 3 * N
+    x_true = rng.standard_normal(d)
+    fixc, sign = 6 * 2 + 1, -1.0
+    x_true[fixc] = sign
+    I = np.zeros((d, d))
+    for k, (i, j) in enumerate(Uij):
+        I[6*i:6*i+6, 6*j:6*j+6] += U[k]
+        if i != j:
+            I[6*j:6*j+6, 6*i:6*i+6] += U[k].T
+    for k, (p, f) in enumerate(Wpf):
+        I[6*p:6*p+6, 6*M+3*f:6*M+3*f+3] += W[k]
+        I[6*M+3*f:6*M+3*f+3, 6*p:6*p+6] += W[k].T
+    for f in range(N):
+        I[6*M+3*f:6*M+3*f+3, 6*M+3*f:6*M+3*f+3] += V[f]
+    e = I @ x_true
+    eP, eF = e[:6*M].reshape(M, 6), e[6*M:].reshape(N, 3)
+    fixed = np.zeros(6 * M, bool)
+    fixed[fixc] = True
+    xp, xf = schur.solve_full_mixed(
+        jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
+        jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
+        jnp.asarray(eF), M, jnp.asarray(fixed), max_obs=8, iters=4,
+        fixc=fixc, sign=sign)
+    got = np.concatenate([np.asarray(xp).ravel(), np.asarray(xf).ravel()])
+    assert got[fixc] == sign
+    np.testing.assert_allclose(got, x_true, atol=1e-8)
+
+
 def test_mask_gauge_identity_rows():
     rng = np.random.default_rng(51)
     S = _spd(24, 1e3, rng)
