@@ -181,17 +181,30 @@ class DeviceTreeSolver:
     # -- full tree -----------------------------------------------------------
     def run(self, maps: list[types.LocalMap], metrics=None) -> types.LocalMap:
         t0 = time.time()
-        maps = [compact_mod.compact(lm, self.bucket, self.u_bucket)
-                for lm in maps]
+        stacked = compact_mod.compact_stack(maps, self.bucket, self.u_bucket)
         t1 = time.time()
-        syms = [plan_mod.sym_of(lm) for lm in maps]
+        syms = plan_mod.sym_of_stacked(stacked)
         plans = plan_mod.plan_tree_exact(syms, self.datatype, self.bucket,
                                          self.u_bucket)
         if not plans:
-            return maps[0]
-        maps = [lm.pad_to(*plans[0].caps_in) for lm in maps]
-        from ..parallel import level as plevel
-        stacked = plevel.stack_maps(maps)
+            return jax.tree.map(lambda a: a[0], stacked)
+        Mi, Ni, KUi, KWi = plans[0].caps_in
+
+        def grow(a, cap, fill=0):
+            if a.ndim < 2 or a.shape[1] >= cap:
+                return a
+            return np.pad(a, [(0, 0), (0, cap - a.shape[1])]
+                          + [(0, 0)] * (a.ndim - 2), constant_values=fill)
+
+        stacked = dataclasses.replace(
+            stacked,
+            pose_ids=grow(stacked.pose_ids, Mi, -1),
+            poses=grow(stacked.poses, Mi),
+            feat_ids=grow(stacked.feat_ids, Ni, -1),
+            feats=grow(stacked.feats, Ni),
+            U=grow(stacked.U, KUi), Uij=grow(stacked.Uij, KUi),
+            W=grow(stacked.W, KWi), Wpf=grow(stacked.Wpf, KWi),
+            V=grow(stacked.V, Ni))
         t2 = time.time()
         x = jax.device_put(stacked)
         t3 = time.time()
@@ -207,9 +220,18 @@ class DeviceTreeSolver:
                          (lp.count + 1) // 2)
         y = self._final_program(plans[-1].caps_out)(x)
         t4 = time.time()
-        host = jax.device_get(y)
+        # Fetch only the solution (ids/states/counts/gauge) eagerly; the info
+        # blocks stay device-resident jax Arrays and transfer lazily on first
+        # np.asarray — the common consumers (writers, ATE, tests) never pay.
+        (pose_ids, poses, feat_ids, feats, n_poses, n_feats, n_U, n_W,
+         gauge) = jax.device_get(
+            (y.pose_ids, y.poses, y.feat_ids, y.feats, y.n_poses, y.n_feats,
+             y.n_U, y.n_W, y.gauge))
+        host = dataclasses.replace(
+            y, pose_ids=pose_ids, poses=poses, feat_ids=feat_ids, feats=feats,
+            n_poses=n_poses, n_feats=n_feats, n_U=n_U, n_W=n_W, gauge=gauge)
         self._last_timing = dict(compact=round(t1 - t0, 4),
-                                 stack=round(t2 - t1, 4),
+                                 plan=round(t2 - t1, 4),
                                  upload=round(t3 - t2, 4),
                                  levels=round(t4 - t3, 4),
                                  get=round(time.time() - t4, 4))

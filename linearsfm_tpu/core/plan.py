@@ -146,6 +146,33 @@ def sym_of(lm: types.LocalMap) -> SymNode:
         fref=int(g.fref), fscap=int(g.fscap))
 
 
+def sym_of_stacked(st: types.LocalMap) -> list[SymNode]:
+    """Id-space shadows of a stacked [B, ...] host LocalMap (compact_stack)."""
+    import numpy as np
+    pid = np.asarray(st.pose_ids)
+    fid = np.asarray(st.feat_ids)
+    Uij = np.asarray(st.Uij)
+    Wpf = np.asarray(st.Wpf)
+    nU = np.asarray(st.n_U)
+    nW = np.asarray(st.n_W)
+    g = st.gauge
+    out = []
+    for b in range(pid.shape[0]):
+        ku, kw = int(nU[b]), int(nW[b])
+        ui = pid[b][Uij[b, :ku, 0]]
+        uj = pid[b][Uij[b, :ku, 1]]
+        KU = {_uk(int(a), int(c)) for a, c in zip(ui, uj)}
+        KW = {int(p) * _BIG + int(f)
+              for p, f in zip(pid[b][Wpf[b, :kw, 0]], fid[b][Wpf[b, :kw, 1]])}
+        out.append(SymNode(
+            P=set(int(x) for x in pid[b][pid[b] >= 0]),
+            F=set(int(x) for x in fid[b][fid[b] >= 0]),
+            KU=KU, KW=KW,
+            ref=int(g.ref[b]), scap=int(g.scap[b]),
+            fref=int(g.fref[b]), fscap=int(g.fscap[b])))
+    return out
+
+
 def _sym_transform(n: SymNode, new_ref: int, new_scap: int,
                    datatype: str) -> SymNode:
     """Id-space effect of transform_map_{stereo,mono} + compaction."""
