@@ -53,11 +53,6 @@ def pad_to_device(lm: types.LocalMap, M: int, N: int, KU: int,
     )
 
 
-def _select(cond, a: types.LocalMap, b: types.LocalMap) -> types.LocalMap:
-    """Per-map scalar select between two equal-capacity maps."""
-    return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
-
-
 class DeviceTreeSolver:
     """Device-resident hierarchical solver (same semantics as TreeSolver).
 
@@ -109,14 +104,13 @@ class DeviceTreeSolver:
                                             info_dtype=cfg.info_dtype)
         return join_mod.join_mono(end, m, cfg)
 
-    def _finish_one(self, lm: types.LocalMap, need, caps_out, info_dtype):
-        """Conditional re-gauge to the final frame, then compact to caps_out.
+    def _regauge_compact(self, lm: types.LocalMap, caps_out, info_dtype):
+        """Unconditional re-gauge to the final frame + compact to caps_out.
 
-        `need` already encodes the position parity; the data-dependent part
-        (ref > fref, LinearSFMImp.cpp:1997) is added here. The transform is
-        computed unconditionally (vmap executes both branches anyway) and
-        selected per map.
-        """
+        Run ONLY on the statically-known re-gauging lanes (plan.LevelPlan
+        .regauge): the id comparison ref > fref (LinearSFMImp.cpp:1997) is
+        decided on the host by the exact plan, so the other lanes never pay
+        for the transform."""
         g = lm.gauge
         if self.datatype == "stereo":
             t = congruence.transform_map_stereo(lm, g.fref,
@@ -124,52 +118,62 @@ class DeviceTreeSolver:
         else:
             t = congruence.transform_map_mono(lm, g.fref, g.fscap, g.ffix,
                                               info_dtype=info_dtype)
-        base = pad_to_device(lm, t.M, t.N, t.KU, t.KW)
-        base = dataclasses.replace(
-            base, U=base.U.astype(t.U.dtype), W=base.W.astype(t.W.dtype),
-            V=base.V.astype(t.V.dtype))
-        sel = _select(need & (g.ref > g.fref), t, base)
-        return dcompact.compact_device(sel, *caps_out)[0]
+        return dcompact.compact_device(t, *caps_out)[0]
 
     # -- level program ---------------------------------------------------------
     def _level_program(self, lp: plan_mod.LevelPlan):
-        key = (lp.count, lp.caps_in, lp.caps_out, self._cfg(2 * lp.caps_in[0]))
+        cfg = self._cfg(2 * lp.caps_in[0])
+        key = (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg)
         if key in self._progs:
             return self._progs[key]
         count = lp.count
         npair, nxt = count // 2, (count + 1) // 2
         caps_out = lp.caps_out
-        cfg = self._cfg(2 * lp.caps_in[0])
         idt = cfg.info_dtype
+        idx_rg = tuple(i for i in range(nxt) if lp.regauge[i])
+        idx_nr = tuple(i for i in range(nxt) if not lp.regauge[i])
+        perm = np.argsort(np.array(idx_nr + idx_rg, np.int32))
 
         def prog(x: types.LocalMap) -> types.LocalMap:
             G = jax.tree.map(lambda a: a[0:2 * npair:2], x)
             Mb = jax.tree.map(lambda a: a[1:2 * npair:2], x)
             merged = jax.vmap(lambda g, m: self._merge_one(g, m, cfg))(G, Mb)
-            pos = jnp.arange(npair)
-            out = jax.vmap(
-                lambda lm, p: self._finish_one(lm, (p % 2) == 1, caps_out, idt)
-            )(merged, pos)
             if count % 2 == 1:
                 carry = jax.tree.map(lambda a: a[count - 1], x)
-                cpos = nxt - 1
-                cfin = self._finish_one(carry, jnp.asarray(cpos % 2 == 1),
-                                        caps_out, idt)
-                out = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b[None]]), out, cfin)
-            return out
+                mg = jax.tree.map(lambda a: a[0], merged)
+                carry = pad_to_device(carry, mg.M, mg.N, mg.KU, mg.KW)
+                carry = jax.tree.map(
+                    lambda c, m: c.astype(m.dtype) if hasattr(m, "dtype")
+                    else c, carry, mg)
+                merged = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), merged, carry)
+
+            parts = []
+            if idx_nr:
+                sub = jax.tree.map(lambda a: a[np.array(idx_nr)], merged)
+                parts.append(jax.vmap(
+                    lambda lm: dcompact.compact_device(lm, *caps_out)[0])(sub))
+            if idx_rg:
+                sub = jax.tree.map(lambda a: a[np.array(idx_rg)], merged)
+                parts.append(jax.vmap(
+                    lambda lm: self._regauge_compact(lm, caps_out, idt))(sub))
+            out = (parts[0] if len(parts) == 1
+                   else jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                                     *parts))
+            return jax.tree.map(lambda a: a[perm], out)
 
         self._progs[key] = jax.jit(prog)
         return self._progs[key]
 
-    def _final_program(self, caps):
-        key = ("final", caps)
+    def _final_program(self, caps, need: bool):
+        key = ("final", caps, need)
         if key in self._progs:
             return self._progs[key]
 
         def prog(x: types.LocalMap) -> types.LocalMap:
             root = jax.tree.map(lambda a: a[0], x)
-            out = self._finish_one(root, jnp.asarray(True), caps, "float64")
+            out = (self._regauge_compact(root, caps, "float64") if need
+                   else dcompact.compact_device(root, *caps)[0])
             return dataclasses.replace(
                 out, U=out.U.astype(out.poses.dtype),
                 W=out.W.astype(out.poses.dtype),
@@ -184,10 +188,11 @@ class DeviceTreeSolver:
         stacked = compact_mod.compact_stack(maps, self.bucket, self.u_bucket)
         t1 = time.time()
         syms = plan_mod.sym_of_stacked(stacked)
-        plans = plan_mod.plan_tree_exact(syms, self.datatype, self.bucket,
-                                         self.u_bucket)
-        if not plans:
+        tp = plan_mod.plan_tree_exact(syms, self.datatype, self.bucket,
+                                      self.u_bucket)
+        if not tp:
             return jax.tree.map(lambda a: a[0], stacked)
+        plans = tp.levels
         Mi, Ni, KUi, KWi = plans[0].caps_in
 
         def grow(a, cap, fill=0):
@@ -218,7 +223,7 @@ class DeviceTreeSolver:
             if self.progress:
                 log.info("Level %d dispatched (%d maps)", li + 1,
                          (lp.count + 1) // 2)
-        y = self._final_program(plans[-1].caps_out)(x)
+        y = self._final_program(tp.root_caps, tp.root_regauge)(x)
         t4 = time.time()
         # Fetch only the solution (ids/states/counts/gauge) eagerly; the info
         # blocks stay device-resident jax Arrays and transfer lazily on first

@@ -37,6 +37,11 @@ class LevelPlan:
     count: int                    # maps entering this level
     caps_in: tuple[int, int, int, int]   # (M, N, KU, KW) of the level input
     caps_out: tuple[int, int, int, int]  # of the level output (= next input)
+    # Exact-plan only: which output positions re-gauge to the final frame
+    # (position parity AND the id comparison ref > fref — both known on the
+    # host, LinearSFMImp.cpp:1997). None = unknown (count-based plan); the
+    # executor must then decide dynamically.
+    regauge: tuple | None = None
 
 
 def _transform_growth(c: Counts, datatype: str) -> Counts:
@@ -220,15 +225,28 @@ def _sym_join(g: SymNode, m: SymNode, datatype: str) -> SymNode:
                    m.ref, m.scap, g.fref, g.fscap)
 
 
-def _sym_finish(n: SymNode, pos: int, datatype: str) -> SymNode:
+def _sym_finish(n: SymNode, pos: int, datatype: str) -> tuple[SymNode, bool]:
     """Conditional re-gauge at odd output positions (exact: id comparison)."""
     if pos % 2 == 1 and n.ref > n.fref:
-        return _sym_transform(n, n.fref, n.fscap, datatype)
-    return n
+        return _sym_transform(n, n.fref, n.fscap, datatype), True
+    return n, False
+
+
+@dataclasses.dataclass(frozen=True)
+class TreePlan:
+    levels: tuple[LevelPlan, ...]
+    root_regauge: bool                     # does the final map re-gauge?
+    root_caps: tuple[int, int, int, int]   # caps of the finished root
+    # (the final transform grows the block lists past the last level's
+    # caps_out before the merge shrinks them back; the root program must
+    # compact into capacities sized from the POST-re-gauge sym node)
+
+    def __bool__(self):
+        return bool(self.levels)
 
 
 def plan_tree_exact(syms: list[SymNode], datatype: str, bucket: int = 16,
-                    u_bucket: int = 64) -> list[LevelPlan]:
+                    u_bucket: int = 64) -> TreePlan:
     """Exact per-level capacity plan from the id-space tree simulation."""
     plans = []
     while len(syms) > 1:
@@ -237,11 +255,19 @@ def plan_tree_exact(syms: list[SymNode], datatype: str, bucket: int = 16,
         nxt = (count + 1) // 2
         caps_in = _caps([s.counts() for s in syms], bucket, u_bucket)
         out = []
+        flags = []
         for i in range(nxt):
             n = (_sym_join(syms[2 * i], syms[2 * i + 1], datatype)
                  if i < npair else syms[2 * i])
-            out.append(_sym_finish(n, i, datatype))
+            n, f = _sym_finish(n, i, datatype)
+            out.append(n)
+            flags.append(f)
         caps_out = _caps([s.counts() for s in out], bucket, u_bucket)
-        plans.append(LevelPlan(count, caps_in, caps_out))
+        plans.append(LevelPlan(count, caps_in, caps_out, tuple(flags)))
         syms = out
-    return plans
+    root = syms[0]
+    root_rg = bool(root.ref > root.fref)
+    if root_rg:
+        root = _sym_transform(root, root.fref, root.fscap, datatype)
+    return TreePlan(tuple(plans), root_rg,
+                    _caps([root.counts()], bucket, u_bucket))

@@ -42,7 +42,8 @@ def test_plan_tree_exact_sound_and_tight(typ, n):
     maps, _, _ = gen.make_dataset(n, typ, noise=0.01, seed=7)
     lms = [compact_mod.compact(m.to_local_map(), 16, 64) for m in maps]
     syms = [plan_mod.sym_of(lm) for lm in lms]
-    plans_exact = plan_mod.plan_tree_exact(syms, typ, 16, 64)
+    tp = plan_mod.plan_tree_exact(syms, typ, 16, 64)
+    plans_exact = tp.levels
     plans_count = plan_mod.plan_tree(
         [plan_mod.counts_of(lm) for lm in lms], typ, 16, 64)
 
@@ -55,7 +56,9 @@ def test_plan_tree_exact_sound_and_tight(typ, n):
         for i in range(len(actual)):
             s = (plan_mod._sym_join(cur[2 * i], cur[2 * i + 1], typ)
                  if i < npair else cur[2 * i])
-            s = plan_mod._sym_finish(s, i, typ)
+            s, rg = plan_mod._sym_finish(s, i, typ)
+            # the plan's per-position re-gauge flag matches the replay
+            assert plans_exact[lvl].regauge[i] == rg, (typ, lvl, i)
             nxt.append(s)
             a, c = actual[i], s.counts()
             assert int(a.n_poses) <= c.m, (typ, lvl, i, "m")
@@ -66,6 +69,15 @@ def test_plan_tree_exact_sound_and_tight(typ, n):
             pid = np.asarray(a.pose_ids)
             assert set(int(x) for x in pid[pid >= 0]) == s.P
         cur = nxt
+
+    # --- root: the finished-root plan covers the final re-gauged map -------
+    root = cur[0]
+    assert tp.root_regauge == (root.ref > root.fref)
+    if tp.root_regauge:
+        root, _ = plan_mod._sym_finish(root, 1, typ)
+    c = root.counts()
+    Mc, Nc, KUc, KWc = tp.root_caps
+    assert c.m <= Mc and c.n <= Nc and c.nU <= KUc and c.nW <= KWc
 
     # --- tightness: exact plan never exceeds the count plan, and dedup
     # actually bites on feature capacity at the upper levels ----------------

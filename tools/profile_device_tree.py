@@ -42,7 +42,8 @@ def main():
     from linearsfm_tpu.parallel import level as plevel
     cm = [compact_mod.compact(lm, solver.bucket, solver.u_bucket) for lm in lms]
     syms = [plan_mod.sym_of(lm) for lm in cm]
-    plans = plan_mod.plan_tree_exact(syms, TYP, solver.bucket, solver.u_bucket)
+    plans = plan_mod.plan_tree_exact(syms, TYP, solver.bucket,
+                                     solver.u_bucket).levels
     cm = [lm.pad_to(*plans[0].caps_in) for lm in cm]
     x = jax.device_put(plevel.stack_maps(cm))
     jax.block_until_ready(x.poses)
