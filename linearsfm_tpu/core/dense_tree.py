@@ -261,35 +261,84 @@ class DenseTreeSolver:
         self._progs[key] = jax.jit(prog)
         return self._progs[key]
 
-    # -- full tree -----------------------------------------------------------
-    def run(self, maps: list[types.LocalMap]) -> types.LocalMap:
-        t0 = time.time()
-        lms = [compact_mod.compact(jax.device_get(lm), 1, 1) for lm in maps]
-        layouts = [L.layout_of(lm) for lm in lms]
+    # -- host prep: plan + batched densify (cached per maps-list identity) ----
+    def _prepare(self, maps: list[types.LocalMap]):
+        if getattr(self, "_prep_maps", None) is maps:
+            return self._prep
+        st = compact_mod.compact_stack(maps, self.bucket, 1)
+        layouts = []
+        pid_all = np.asarray(st.pose_ids)
+        fid_all = np.asarray(st.feat_ids)
+        g = st.gauge
+        for b in range(pid_all.shape[0]):
+            pid, fid = pid_all[b], fid_all[b]
+            layouts.append(L.NodeLayout(
+                pose_ids=pid[pid >= 0].astype(np.int32),
+                feat_ids=fid[fid >= 0].astype(np.int32),
+                ref=int(g.ref[b]), scap=int(g.scap[b]), fix=int(g.fix[b]),
+                fref=int(g.fref[b]), fscap=int(g.fscap[b]),
+                ffix=int(g.ffix[b])))
         plan = L.plan_dense_tree(layouts, self.datatype, self.bucket)
-        t1 = time.time()
         if not plan.levels:
-            return lms[0]
+            self._prep = (plan, None, layouts)
+            self._prep_maps = maps
+            return self._prep
+
+        # batched densify of the stacked lists (padding blocks are zero with
+        # index (0,0), so scatter-adding them is harmless)
         Mi, Ni = plan.levels[0].caps_in
-        B = len(lms)
+        B, Ms = pid_all.shape
+        Ns = fid_all.shape[1]
+        assert Ms <= Mi and Ns <= Ni, (Ms, Ns, plan.levels[0].caps_in)
+        idt0, _ = self._policy(2 * Mi)
+        ndt = np.dtype(idt0)
+        A = np.zeros((B, Mi, 6, Mi, 6), ndt)
+        Wd = np.zeros((B, Mi, Ni, 6, 3), ndt)
+        V = np.zeros((B, Ni, 3, 3), ndt)
         poses = np.zeros((B, Mi, 6))
         feats = np.zeros((B, Ni, 3))
-        A = np.zeros((B, Mi, 6, Mi, 6))
-        Wd = np.zeros((B, Mi, Ni, 6, 3))
-        V = np.zeros((B, Ni, 3, 3))
-        sign = np.ones((B,))
-        for bi, lm in enumerate(lms):
-            m, n = int(lm.n_poses), int(lm.n_feats)
-            poses[bi, :m] = np.asarray(lm.poses)[:m]
-            feats[bi, :n] = np.asarray(lm.feats)[:n]
-            A[bi], Wd[bi], V[bi] = densify(lm, Mi, Ni)
-            sign[bi] = float(lm.gauge.sign)
-        x = D.DenseMap(jnp.asarray(poses), jnp.asarray(feats), jnp.asarray(A),
-                       jnp.asarray(Wd), jnp.asarray(V), jnp.asarray(sign))
-        idt0, _ = self._policy(2 * plan.levels[0].caps_in[0])
-        x = x._replace(A=x.A.astype(jnp.dtype(idt0)),
-                       Wd=x.Wd.astype(jnp.dtype(idt0)),
-                       V=x.V.astype(jnp.dtype(idt0)))
+        poses[:, :Ms] = np.asarray(st.poses)
+        feats[:, :Ns] = np.asarray(st.feats)
+        V[:, :Ns] = np.asarray(st.V)
+        U = np.asarray(st.U).astype(ndt)
+        Uij = np.asarray(st.Uij)
+        Wl = np.asarray(st.W).astype(ndt)
+        Wpf = np.asarray(st.Wpf)
+        KU, KW = U.shape[1], Wl.shape[1]
+        r6, r3 = np.arange(6), np.arange(3)
+
+        def grid(idx, d1, d2):
+            return np.broadcast_to(idx[:, :, None, None],
+                                   (B, idx.shape[1], d1, d2))
+        bb = np.broadcast_to(np.arange(B)[:, None, None, None],
+                             (B, KU, 6, 6))
+        aa = np.broadcast_to(r6[None, None, :, None], (B, KU, 6, 6))
+        cc = np.broadcast_to(r6[None, None, None, :], (B, KU, 6, 6))
+        i, j = Uij[..., 0], Uij[..., 1]
+        np.add.at(A, (bb, grid(i, 6, 6), aa, grid(j, 6, 6), cc), U)
+        offd = (i != j)[:, :, None, None]
+        np.add.at(A, (bb, grid(j, 6, 6), cc, grid(i, 6, 6), aa),
+                  np.where(offd, U, 0.0))
+        wb = np.broadcast_to(np.arange(B)[:, None, None, None],
+                             (B, KW, 6, 3))
+        wa = np.broadcast_to(r6[None, None, :, None], (B, KW, 6, 3))
+        wc = np.broadcast_to(r3[None, None, None, :], (B, KW, 6, 3))
+        np.add.at(Wd, (wb, grid(Wpf[..., 0], 6, 3), grid(Wpf[..., 1], 6, 3),
+                       wa, wc), Wl)
+        x = D.DenseMap(poses, feats, A, Wd, V,
+                       np.asarray(g.sign, np.float64))
+        self._prep = (plan, x, layouts)
+        self._prep_maps = maps
+        return self._prep
+
+    # -- full tree -----------------------------------------------------------
+    def run(self, maps: list[types.LocalMap], metrics=None) -> types.LocalMap:
+        t0 = time.time()
+        plan, x0, layouts = self._prepare(maps)
+        t1 = time.time()
+        if not plan.levels:
+            return compact_mod.compact(jax.device_get(maps[0]), 1, 1)
+        x = jax.device_put(x0)
         t2 = time.time()
         for li, lp in enumerate(plan.levels):
             b = dict(lp.bundle)
@@ -297,6 +346,10 @@ class DenseTreeSolver:
                              else np.zeros((0, 1), np.int32))
             x = self._level_program(lp)(x, b)
             self.join_count += lp.count // 2
+            if metrics is not None:
+                metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,
+                               M=lp.caps_out[0], N=lp.caps_out[1],
+                               wall=round(time.time() - t0, 4))
             if self.progress:
                 log.info("Level %d dispatched (%d maps)", li + 1,
                          (lp.count + 1) // 2)
@@ -306,8 +359,8 @@ class DenseTreeSolver:
         t3 = time.time()
         poses, feats = jax.device_get((y.poses, y.feats))
         t4 = time.time()
-        self._last_timing = dict(plan=round(t1 - t0, 4),
-                                 densify=round(t2 - t1, 4),
+        self._last_timing = dict(prep=round(t1 - t0, 4),
+                                 upload=round(t2 - t1, 4),
                                  levels=round(t3 - t2, 4),
                                  get=round(t4 - t3, 4))
         self._last_dense = y

@@ -36,12 +36,16 @@ def run(path: str, num: int, datatype: str,
 
     executor: "host" = host-driven scheduler (core/tree.py, supports
     checkpoint/resume and per-level compaction stats); "device" =
-    device-resident tree (core/device_tree.py, fastest on TPU).
+    device-resident block-list tree (core/device_tree.py); "dense" =
+    host-planned dense executor (core/dense_tree.py, fastest on TPU).
     trace_dir enables a jax.profiler trace of the solve (view in XProf).
     """
     maps = load_local_maps(path, num, datatype)
     if solver is None:
-        if executor == "device":
+        if executor == "dense":
+            from .dense_tree import DenseTreeSolver
+            solver = DenseTreeSolver(datatype, method=method, progress=progress)
+        elif executor == "device":
             from .device_tree import DeviceTreeSolver
             solver = DeviceTreeSolver(datatype, method=method, progress=progress)
         else:
