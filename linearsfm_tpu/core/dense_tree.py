@@ -112,7 +112,8 @@ class DenseTreeSolver:
 
     def __init__(self, datatype: str, method: str = "refine",
                  refine_iters: int = 3, bucket: int = 16,
-                 mixed_max_m: int = 32, progress: bool = False):
+                 mixed_max_m: int = 32, progress: bool = False,
+                 fuse: bool = True):
         assert datatype in ("stereo", "mono")
         self.datatype = datatype
         self.method = method
@@ -120,6 +121,12 @@ class DenseTreeSolver:
         self.bucket = bucket
         self.mixed_max_m = mixed_max_m if method == "refine" else 0
         self.progress = progress
+        # fuse=True compiles the WHOLE tree (all levels + final re-gauge)
+        # into one XLA program: a tree level is pure dataflow with
+        # host-planned indices, so nothing forces a per-level dispatch.
+        # Kills the per-program launch overhead, which dominates on
+        # tunneled TPUs (~10 dispatches otherwise).
+        self.fuse = fuse
         self._progs: dict = {}
         self.join_count = 0
 
@@ -189,14 +196,12 @@ class DenseTreeSolver:
                                       slots[3], slots[4], slots[5],
                                       info_dtype=idt)
 
-    # -- level program ---------------------------------------------------------
-    def _level_program(self, lp: L.DenseLevelPlan):
+    # -- level body (pure dataflow; jitted per level or fused whole) ----------
+    def _level_body(self, lp: L.DenseLevelPlan, x: D.DenseMap,
+                    b: dict) -> D.DenseMap:
         # policy keyed on the pre-dedup joined width (= DeviceTreeSolver's
         # key) so both executors assign the same levels to f32
         idt, method = self._policy(2 * lp.caps_in[0])
-        key = (lp.count, lp.caps_in, lp.caps_out, lp.regauge, idt, method)
-        if key in self._progs:
-            return self._progs[key]
         count = lp.count
         npair, nxt = count // 2, (count + 1) // 2
         Mo, No = lp.caps_out
@@ -215,48 +220,69 @@ class DenseTreeSolver:
                               Wd.astype(jnp.dtype(idt)),
                               V.astype(jnp.dtype(idt)), dm.sign)
 
-        def prog(x: D.DenseMap, b: dict) -> D.DenseMap:
-            G = jax.tree.map(lambda a: a[0:2 * npair:2], x)
-            Mb = jax.tree.map(lambda a: a[1:2 * npair:2], x)
-            merged = jax.vmap(
-                lambda g, m, s, a1, a2, a3, a4: self._join_lane(
-                    g, m, s, a1, a2, a3, a4, idt, method)
-            )(G, Mb, b["slots"], b["gsrcP"], b["msrcP"], b["gsrcF"],
-              b["msrcF"])
-            if count % 2 == 1:
-                carry = grow(jax.tree.map(lambda a: a[count - 1], x))
-                merged = jax.tree.map(
-                    lambda a, c: jnp.concatenate([a, c[None]]), merged, carry)
-            parts = []
-            if idx_nr:
-                parts.append(jax.tree.map(lambda a: a[np.array(idx_nr)],
-                                          merged))
-            if idx_rg:
-                sub = jax.tree.map(lambda a: a[np.array(idx_rg)], merged)
-                parts.append(jax.vmap(
-                    lambda dm, s: self._regauge_lane(dm, s, idt))(
-                        sub, b["rg_slots"]))
-            out = (parts[0] if len(parts) == 1
-                   else jax.tree.map(lambda a, c: jnp.concatenate([a, c]),
-                                     *parts))
-            return jax.tree.map(lambda a: a[perm], out)
+        G = jax.tree.map(lambda a: a[0:2 * npair:2], x)
+        Mb = jax.tree.map(lambda a: a[1:2 * npair:2], x)
+        merged = jax.vmap(
+            lambda g, m, s, a1, a2, a3, a4: self._join_lane(
+                g, m, s, a1, a2, a3, a4, idt, method)
+        )(G, Mb, b["slots"], b["gsrcP"], b["msrcP"], b["gsrcF"],
+          b["msrcF"])
+        if count % 2 == 1:
+            carry = grow(jax.tree.map(lambda a: a[count - 1], x))
+            merged = jax.tree.map(
+                lambda a, c: jnp.concatenate([a, c[None]]), merged, carry)
+        parts = []
+        if idx_nr:
+            parts.append(jax.tree.map(lambda a: a[np.array(idx_nr)], merged))
+        if idx_rg:
+            sub = jax.tree.map(lambda a: a[np.array(idx_rg)], merged)
+            parts.append(jax.vmap(
+                lambda dm, s: self._regauge_lane(dm, s, idt))(
+                    sub, b["rg_slots"]))
+        out = (parts[0] if len(parts) == 1
+               else jax.tree.map(lambda a, c: jnp.concatenate([a, c]),
+                                 *parts))
+        return jax.tree.map(lambda a: a[perm], out)
 
-        self._progs[key] = jax.jit(prog)
+    def _final_body(self, regauge: bool, x: D.DenseMap,
+                    slots) -> D.DenseMap:
+        root = jax.tree.map(lambda a: a[0], x)
+        root = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, root)
+        if regauge:
+            root = self._regauge_lane(root, slots, "float64")
+        return root
+
+    def _level_program(self, lp: L.DenseLevelPlan):
+        idt, method = self._policy(2 * lp.caps_in[0])
+        key = (lp.count, lp.caps_in, lp.caps_out, lp.regauge, idt, method)
+        if key not in self._progs:
+            self._progs[key] = jax.jit(
+                lambda x, b, lp=lp: self._level_body(lp, x, b))
         return self._progs[key]
 
     def _final_program(self, caps, slots_or_none):
         key = ("final", caps, slots_or_none is not None)
+        if key not in self._progs:
+            self._progs[key] = jax.jit(
+                lambda x, s, rg=slots_or_none is not None:
+                self._final_body(rg, x, s))
+        return self._progs[key]
+
+    def _tree_program(self, plan: L.DenseTreePlan):
+        """One XLA program for the entire tree (fuse=True)."""
+        key = ("tree",
+               tuple((lp.count, lp.caps_in, lp.caps_out, lp.regauge,
+                      self._policy(2 * lp.caps_in[0])) for lp in plan.levels),
+               plan.root_regauge)
         if key in self._progs:
             return self._progs[key]
 
-        def prog(x: D.DenseMap, slots) -> D.DenseMap:
-            root = jax.tree.map(lambda a: a[0], x)
-            root = jax.tree.map(
-                lambda a: a.astype(jnp.float64)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a, root)
-            if slots_or_none is not None:
-                root = self._regauge_lane(root, slots, "float64")
-            return root
+        def prog(x: D.DenseMap, bundles, root_slots) -> D.DenseMap:
+            for lp, b in zip(plan.levels, bundles):
+                x = self._level_body(lp, x, b)
+            return self._final_body(plan.root_regauge, x, root_slots)
 
         self._progs[key] = jax.jit(prog)
         return self._progs[key]
@@ -340,22 +366,30 @@ class DenseTreeSolver:
             return compact_mod.compact(jax.device_get(maps[0]), 1, 1)
         x = jax.device_put(x0)
         t2 = time.time()
-        for li, lp in enumerate(plan.levels):
+
+        def bundle_of(lp):
             b = dict(lp.bundle)
             b["rg_slots"] = (lp.rg_bundle["slots"] if lp.rg_bundle is not None
                              else np.zeros((0, 1), np.int32))
-            x = self._level_program(lp)(x, b)
-            self.join_count += lp.count // 2
-            if metrics is not None:
-                metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,
-                               M=lp.caps_out[0], N=lp.caps_out[1],
-                               wall=round(time.time() - t0, 4))
-            if self.progress:
-                log.info("Level %d dispatched (%d maps)", li + 1,
-                         (lp.count + 1) // 2)
-        y = self._final_program(
-            (x.M, x.N), plan.root_slots)(
-                x, np.asarray(plan.root_slots or (0,), np.int32))
+            return b
+
+        root_slots = np.asarray(plan.root_slots or (0,), np.int32)
+        if self.fuse:
+            y = self._tree_program(plan)(
+                x, tuple(bundle_of(lp) for lp in plan.levels), root_slots)
+            self.join_count += sum(lp.count // 2 for lp in plan.levels)
+        else:
+            for li, lp in enumerate(plan.levels):
+                x = self._level_program(lp)(x, bundle_of(lp))
+                self.join_count += lp.count // 2
+                if metrics is not None:
+                    metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,
+                                   M=lp.caps_out[0], N=lp.caps_out[1],
+                                   wall=round(time.time() - t0, 4))
+                if self.progress:
+                    log.info("Level %d dispatched (%d maps)", li + 1,
+                             (lp.count + 1) // 2)
+            y = self._final_program((x.M, x.N), plan.root_slots)(x, root_slots)
         t3 = time.time()
         poses, feats = jax.device_get((y.poses, y.feats))
         t4 = time.time()

@@ -50,6 +50,115 @@ class DenseMap(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# Contractions
+#
+# Every congruence product contracts over a tiny axis (block width 6 or 3).
+# As dot_general that is the worst case on TPU: ~2-5% MXU utilization, and in
+# f64 it additionally pays the multi-pass emulation AND the known silent
+# precision drop for broadcast operands (see CLAUDE.md / ops/rotations.py).
+# So f64 contractions are written as broadcast-multiply-reduce over the big
+# operand (VPU, bandwidth-bound, exact f64), looping the tiny free axes;
+# f32 keeps einsum (MXU-friendly enough, and exact at that precision).
+# ---------------------------------------------------------------------------
+
+def _f64(x) -> bool:
+    return x.dtype == jnp.float64
+
+
+def _sandwich_A(Dp, A):
+    """Dp^T A Dp blockwise: "pai,paqb->piqb" + "piqb,qbj->piqj"."""
+    if not _f64(A):
+        T = jnp.einsum("pai,paqb->piqb", Dp, A)
+        return jnp.einsum("piqb,qbj->piqj", T, Dp)
+    T = sum(Dp[:, a, :, None, None] * A[:, a, None, :, :] for a in range(6))
+    return sum(T[:, :, :, b, None] * Dp[None, None, :, b, :]
+               for b in range(6))
+
+
+def _sandwich_W(Dp, Wd, Df):
+    """Dp^T W Df blockwise: [M,N,6,3]."""
+    if not _f64(Wd):
+        T = jnp.einsum("pai,pnab->pnib", Dp, Wd)
+        return jnp.einsum("pnib,nbj->pnij", T, Df)
+    T = sum(Dp[:, a][:, None, :, None] * Wd[:, :, a][:, :, None, :]
+            for a in range(6))          # [M,N,6i,3b]
+    return sum(T[:, :, :, b][:, :, :, None] * Df[:, b][None, :, None, :]
+               for b in range(3))
+
+
+def _sandwich_V(Df, V):
+    if not _f64(V):
+        return jnp.einsum("nai,nab,nbj->nij", Df, V, Df)
+    T = sum(Df[:, a, :, None] * V[:, a, None, :] for a in range(3))
+    return sum(T[:, :, b, None] * Df[:, b, None, :] for b in range(3))
+
+
+def _colA(A, Cp):
+    """"paqb,qbj->paj": per-pose-row coupling from the pose-pose matrix."""
+    if not _f64(A):
+        return jnp.einsum("paqb,qbj->paj", A, Cp)
+    return jnp.stack(
+        [jnp.sum(A * Cp[None, None, :, :, j], axis=(2, 3)) for j in range(6)],
+        axis=-1)
+
+
+def _colW(Wd, Cf):
+    """"pnab,nbj->paj"."""
+    if not _f64(Wd):
+        return jnp.einsum("pnab,nbj->paj", Wd, Cf)
+    return jnp.stack(
+        [jnp.sum(Wd * Cf[None, :, None, :, j], axis=(1, 3)) for j in range(6)],
+        axis=-1)
+
+
+def _qW(Cp, Wd):
+    """"pai,pnaf->nif"."""
+    if not _f64(Wd):
+        return jnp.einsum("pai,pnaf->nif", Cp, Wd)
+    return jnp.stack(
+        [jnp.sum(Cp[:, None, :, None, i] * Wd, axis=(0, 2)) for i in range(6)],
+        axis=1)
+
+
+def _qV(Cf, V):
+    """"nai,naf->nif"."""
+    if not _f64(V):
+        return jnp.einsum("nai,naf->nif", Cf, V)
+    return jnp.stack(
+        [jnp.sum(Cf[:, :, i, None] * V, axis=1) for i in range(6)], axis=1)
+
+
+def _ct_small(Ca, T):
+    """"pix,piy->xy" with x,y tiny: safe as broadcast-reduce."""
+    return jnp.sum(Ca[:, :, :, None] * T[:, :, None, :], axis=(0, 1))
+
+
+def _crossWW(Wd, Cbf):
+    """"pnij,njb->pib"."""
+    if not _f64(Wd):
+        return jnp.einsum("pnij,njb->pib", Wd, Cbf)
+    return jnp.stack(
+        [jnp.sum(Wd * Cbf[None, :, None, :, b], axis=(1, 3)) for b in range(6)],
+        axis=-1)
+
+
+def _crossWT(Wd, Cbp):
+    """"pnij,pib->njb"."""
+    if not _f64(Wd):
+        return jnp.einsum("pnij,pib->njb", Wd, Cbp)
+    return jnp.stack(
+        [jnp.sum(Wd * Cbp[:, None, :, None, b], axis=(0, 2)) for b in range(6)],
+        axis=-1)
+
+
+def _VC(V, Cf):
+    """"nij,njb->nib"."""
+    if not _f64(V):
+        return jnp.einsum("nij,njb->nib", V, Cf)
+    return sum(V[:, :, j, None] * Cf[:, j, None, :] for j in range(3))
+
+
+# ---------------------------------------------------------------------------
 # Congruence
 # ---------------------------------------------------------------------------
 
@@ -62,28 +171,23 @@ def _congruence_dense(A, Wd, V, Dp, Df, Cp, Cf, rs, C2p=None, C2f=None,
     triangles are written (A is carried full-symmetric). Callers must have
     applied the fold rule (Cp[rs] = 0, and for mono C2p[ss] = 0) beforehand.
     """
-    # blockdiag sandwich D^T I D
-    A1 = jnp.einsum("pai,paqb->piqb", Dp, A)
-    A1 = jnp.einsum("piqb,qbj->piqj", A1, Dp)
-    W1 = jnp.einsum("pai,pnab->pnib", Dp, Wd)
-    W1 = jnp.einsum("pnib,nbj->pnij", W1, Df)
-    V1 = jnp.einsum("nai,nab,nbj->nij", Df, V, Df)
+    A1 = _sandwich_A(Dp, A)
+    W1 = _sandwich_W(Dp, Wd, Df)
+    V1 = _sandwich_V(Df, V)
 
     def column_terms(Cp_, Cf_):
         # Mr[p] = sum_q A[p,q] C_q + sum_n Wd[p,n] Cf_n  -> [M,6,6]
-        mr = jnp.einsum("paqb,qbj->paj", A, Cp_)
-        mr += jnp.einsum("pnab,nbj->paj", Wd, Cf_)
+        mr = _colA(A, Cp_) + _colW(Wd, Cf_)
         # Qr[n] = sum_p Cp_p^T Wd[p,n] + Cf_n^T V_n      -> [N,6,3]
-        q = jnp.einsum("pai,pnaf->nif", Cp_, Wd)
-        q += jnp.einsum("nai,naf->nif", Cf_, V)
+        q = _qW(Cp_, Wd) + _qV(Cf_, V)
         return mr, q
 
     def cross(Ca_p, Ca_f, Cb_p, Cb_f):
         # Ca^T I Cb summed over the full (both-triangle) matrix -> [6,6]
-        t = jnp.einsum("pia,piqj,qjb->ab", Ca_p, A, Cb_p)
-        t += jnp.einsum("pia,pnij,njb->ab", Ca_p, Wd, Cb_f)
-        t += jnp.einsum("nja,pnij,pib->ab", Ca_f, Wd, Cb_p)
-        t += jnp.einsum("nia,nij,njb->ab", Ca_f, V, Cb_f)
+        t = _ct_small(Ca_p, _colA(A, Cb_p))          # pia,piqj,qjb
+        t += _ct_small(Ca_p, _crossWW(Wd, Cb_f))     # pia,pnij,njb
+        t += _ct_small(Ca_f, _crossWT(Wd, Cb_p))     # nja,pnij,pib
+        t += _ct_small(Ca_f, _VC(V, Cb_f))           # nia,nij,njb
         return t
 
     def add_column(A1, W1, Cp_, Cf_, col_slot):
@@ -210,14 +314,26 @@ def transform_dense_mono(dm: DenseMap, rs, ss, p1, p2, old_fix, new_fix,
 # Fusion solve on the dense representation
 # ---------------------------------------------------------------------------
 
+def _matvecs(A, Wd, V, xp, xf):
+    """(A xp + W xf, W^T xp + V xf) — broadcast-reduce in f64 (see above)."""
+    if not _f64(A):
+        eP = (jnp.einsum("piqj,qj->pi", A, xp)
+              + jnp.einsum("pnif,nf->pi", Wd, xf))
+        eF = (jnp.einsum("nij,nj->ni", V, xf)
+              + jnp.einsum("pnif,pi->nf", Wd, xp))
+        return eP, eF
+    eP = (jnp.sum(A * xp[None, None, :, :], axis=(2, 3))
+          + jnp.sum(Wd * xf[None, :, None, :], axis=(1, 3)))
+    eF = (jnp.sum(V * xf[:, None, :], axis=2)
+          + jnp.sum(Wd * xp[:, None, :, None], axis=(0, 2)))
+    return eP, eF
+
+
 def info_vector_dense(dm: DenseMap, idt):
     """e = I x as dense matvecs (cf. ops/schur.info_vector)."""
-    xp = dm.poses.astype(idt)
-    xf = dm.feats.astype(idt)
-    A, Wd, V = dm.A.astype(idt), dm.Wd.astype(idt), dm.V.astype(idt)
-    eP = jnp.einsum("piqj,qj->pi", A, xp) + jnp.einsum("pnif,nf->pi", Wd, xf)
-    eF = jnp.einsum("nij,nj->ni", V, xf) + jnp.einsum("pnif,pi->nf", Wd, xp)
-    return eP, eF
+    idt = jnp.dtype(idt)
+    return _matvecs(dm.A.astype(idt), dm.Wd.astype(idt), dm.V.astype(idt),
+                    dm.poses.astype(idt), dm.feats.astype(idt))
 
 
 def solve_dense(A, Wd, V, eP, eF, fixed_mask, *, method="refine",
@@ -276,10 +392,7 @@ def solve_dense(A, Wd, V, eP, eF, fixed_mask, *, method="refine",
 
     def body(_, carry):
         xp, xf = carry
-        iP = (jnp.einsum("piqj,qj->pi", A, xp)
-              + jnp.einsum("pnif,nf->pi", Wd, xf))
-        iF = (jnp.einsum("nij,nj->ni", V, xf)
-              + jnp.einsum("pnif,pi->nf", Wd, xp))
+        iP, iF = _matvecs(A, Wd, V, xp, xf)
         rP = (eP - iP).astype(f32)
         rF = (eF - iF).astype(f32)
         red = rP - jnp.einsum("pnig,ng->pi", Yd, rF)

@@ -41,7 +41,7 @@ def test_dense_tree_matches_host_tree(typ, n):
         np.testing.assert_allclose(fa[k], fb[k], atol=1e-9)
 
 
-@pytest.mark.parametrize("typ,policy_atol", [("stereo", 2e-3),
+@pytest.mark.parametrize("typ,policy_atol", [("stereo", 1e-2),
                                              ("mono", 2e-2)])
 def test_dense_tree_refine_close_to_direct(typ, policy_atol):
     """Mixed-precision policy: low tree levels f32, refined upper levels."""
