@@ -121,11 +121,13 @@ class DenseTreeSolver:
         self.bucket = bucket
         self.mixed_max_m = mixed_max_m if method == "refine" else 0
         self.progress = progress
-        # fuse=True compiles the WHOLE tree (all levels + final re-gauge)
-        # into one XLA program: a tree level is pure dataflow with
-        # host-planned indices, so nothing forces a per-level dispatch.
-        # Kills the per-program launch overhead, which dominates on
-        # tunneled TPUs (~10 dispatches otherwise).
+        # fuse: compile groups of consecutive levels into single XLA
+        # programs (True = groups of 3; an int = that group size; False =
+        # one program per level). A tree level is pure dataflow with
+        # host-planned indices, so nothing forces a per-level dispatch —
+        # fusing amortizes the per-program launch overhead that dominates
+        # the small levels (~30ms each on a tunneled chip). Whole-tree
+        # fusion OOMs the remote TPU compiler at 512 maps; 3 is a safe size.
         self.fuse = fuse
         self._progs: dict = {}
         self.join_count = 0
@@ -270,19 +272,28 @@ class DenseTreeSolver:
                 self._final_body(rg, x, s))
         return self._progs[key]
 
-    def _tree_program(self, plan: L.DenseTreePlan):
-        """One XLA program for the entire tree (fuse=True)."""
-        key = ("tree",
+    def _chunk_program(self, lps: tuple, final_rg):
+        """One XLA program for a group of consecutive levels.
+
+        final_rg: None = not the last chunk; else bool root_regauge (the
+        final f64 cast + re-gauge is folded into the last chunk). Grouping
+        bounds the per-program size — the remote TPU compiler OOMs on a
+        whole-512-map-tree single program — while still amortizing dispatch
+        overhead ~chunk-fold.
+        """
+        key = ("chunk",
                tuple((lp.count, lp.caps_in, lp.caps_out, lp.regauge,
-                      self._policy(2 * lp.caps_in[0])) for lp in plan.levels),
-               plan.root_regauge)
+                      self._policy(2 * lp.caps_in[0])) for lp in lps),
+               final_rg)
         if key in self._progs:
             return self._progs[key]
 
-        def prog(x: D.DenseMap, bundles, root_slots) -> D.DenseMap:
-            for lp, b in zip(plan.levels, bundles):
+        def prog(x: D.DenseMap, bundles, root_slots):
+            for lp, b in zip(lps, bundles):
                 x = self._level_body(lp, x, b)
-            return self._final_body(plan.root_regauge, x, root_slots)
+            if final_rg is not None:
+                x = self._final_body(final_rg, x, root_slots)
+            return x
 
         self._progs[key] = jax.jit(prog)
         return self._progs[key]
@@ -375,9 +386,16 @@ class DenseTreeSolver:
 
         root_slots = np.asarray(plan.root_slots or (0,), np.int32)
         if self.fuse:
-            y = self._tree_program(plan)(
-                x, tuple(bundle_of(lp) for lp in plan.levels), root_slots)
-            self.join_count += sum(lp.count // 2 for lp in plan.levels)
+            k = 3 if self.fuse is True else int(self.fuse)
+            lps = plan.levels
+            for c0 in range(0, len(lps), k):
+                chunk = lps[c0:c0 + k]
+                last = c0 + k >= len(lps)
+                y = self._chunk_program(
+                    chunk, plan.root_regauge if last else None)(
+                        x, tuple(bundle_of(lp) for lp in chunk), root_slots)
+                x = y
+                self.join_count += sum(lp.count // 2 for lp in chunk)
         else:
             for li, lp in enumerate(plan.levels):
                 x = self._level_program(lp)(x, bundle_of(lp))
