@@ -121,14 +121,15 @@ class DenseTreeSolver:
         self.bucket = bucket
         self.mixed_max_m = mixed_max_m if method == "refine" else 0
         self.progress = progress
-        # fuse: compile groups of consecutive levels into single XLA
-        # programs (True = groups of 3; an int = that group size; False =
-        # one program per level). A tree level is pure dataflow with
-        # host-planned indices, so nothing forces a per-level dispatch —
-        # fusing amortizes the per-program launch overhead that dominates
-        # the small levels (~30ms each on a tunneled chip). Whole-tree
-        # fusion OOMs the remote TPU compiler at 512 maps; 3 is a safe size.
+        # fuse: compile the SMALL-count tail of the tree (levels with
+        # count <= 64, plus the final re-gauge) into one XLA program. A tree
+        # level is pure dataflow with host-planned indices, so nothing
+        # forces a per-level dispatch — fusing amortizes the per-program
+        # launch overhead (~30ms each on a tunneled chip) exactly where
+        # compute is trivial. The wide early levels stay one program each:
+        # fusing those (or the whole tree) OOMs the remote TPU compiler.
         self.fuse = fuse
+        self.fuse_max_count = 64
         self._progs: dict = {}
         self.join_count = 0
 
@@ -386,16 +387,17 @@ class DenseTreeSolver:
 
         root_slots = np.asarray(plan.root_slots or (0,), np.int32)
         if self.fuse:
-            k = 3 if self.fuse is True else int(self.fuse)
             lps = plan.levels
-            for c0 in range(0, len(lps), k):
-                chunk = lps[c0:c0 + k]
-                last = c0 + k >= len(lps)
-                y = self._chunk_program(
-                    chunk, plan.root_regauge if last else None)(
-                        x, tuple(bundle_of(lp) for lp in chunk), root_slots)
-                x = y
-                self.join_count += sum(lp.count // 2 for lp in chunk)
+            ntail = sum(1 for lp in lps if lp.count <= self.fuse_max_count)
+            nhead = len(lps) - ntail
+            for lp in lps[:nhead]:
+                x = self._chunk_program((lp,), None)(
+                    x, (bundle_of(lp),), root_slots)
+                self.join_count += lp.count // 2
+            tail = lps[nhead:]
+            y = self._chunk_program(tail, plan.root_regauge)(
+                x, tuple(bundle_of(lp) for lp in tail), root_slots)
+            self.join_count += sum(lp.count // 2 for lp in tail)
         else:
             for li, lp in enumerate(plan.levels):
                 x = self._level_program(lp)(x, bundle_of(lp))
