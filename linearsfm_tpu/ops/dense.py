@@ -65,14 +65,31 @@ def _f64(x) -> bool:
     return x.dtype == jnp.float64
 
 
+def _accum(n, term):
+    """sum(term(k) for k in range(n)) as a fori_loop.
+
+    Unrolling these sums bloats the HLO enough to OOM the remote TPU
+    compile helper (measured: a tree level of unrolled broadcast-reduce
+    contractions fails to compile); the loop form is ~n x smaller and the
+    per-iteration kernels are identical.
+    """
+    t0 = term(0)
+    return jax.lax.fori_loop(1, n, lambda k, acc: acc + term(k), t0)
+
+
+def _ix(x, axis, k):
+    return jax.lax.dynamic_index_in_dim(x, k, axis, keepdims=False)
+
+
 def _sandwich_A(Dp, A):
     """Dp^T A Dp blockwise: "pai,paqb->piqb" + "piqb,qbj->piqj"."""
     if not _f64(A):
         T = jnp.einsum("pai,paqb->piqb", Dp, A)
         return jnp.einsum("piqb,qbj->piqj", T, Dp)
-    T = sum(Dp[:, a, :, None, None] * A[:, a, None, :, :] for a in range(6))
-    return sum(T[:, :, :, b, None] * Dp[None, None, :, b, :]
-               for b in range(6))
+    T = _accum(6, lambda a: _ix(Dp, 1, a)[:, :, None, None]
+               * _ix(A, 1, a)[:, None, :, :])
+    return _accum(6, lambda b: _ix(T, 3, b)[:, :, :, None]
+                  * _ix(Dp, 1, b)[None, None, :, :])
 
 
 def _sandwich_W(Dp, Wd, Df):
@@ -80,52 +97,61 @@ def _sandwich_W(Dp, Wd, Df):
     if not _f64(Wd):
         T = jnp.einsum("pai,pnab->pnib", Dp, Wd)
         return jnp.einsum("pnib,nbj->pnij", T, Df)
-    T = sum(Dp[:, a][:, None, :, None] * Wd[:, :, a][:, :, None, :]
-            for a in range(6))          # [M,N,6i,3b]
-    return sum(T[:, :, :, b][:, :, :, None] * Df[:, b][None, :, None, :]
-               for b in range(3))
+    T = _accum(6, lambda a: _ix(Dp, 1, a)[:, None, :, None]
+               * _ix(Wd, 2, a)[:, :, None, :])        # [M,N,6i,3b]
+    return _accum(3, lambda b: _ix(T, 3, b)[:, :, :, None]
+                  * _ix(Df, 1, b)[None, :, None, :])
 
 
 def _sandwich_V(Df, V):
     if not _f64(V):
         return jnp.einsum("nai,nab,nbj->nij", Df, V, Df)
-    T = sum(Df[:, a, :, None] * V[:, a, None, :] for a in range(3))
-    return sum(T[:, :, b, None] * Df[:, b, None, :] for b in range(3))
+    T = _accum(3, lambda a: _ix(Df, 1, a)[:, :, None]
+               * _ix(V, 1, a)[:, None, :])
+    return _accum(3, lambda b: _ix(T, 2, b)[:, :, None]
+                  * _ix(Df, 1, b)[:, None, :])
+
+
+def _stackloop(n, body, axis=-1):
+    """stack([body(j) for j in range(n)], axis) as a fori_loop (see _accum)."""
+    t0 = body(0)
+    out = jnp.zeros(t0.shape + (n,), t0.dtype)
+    out = out.at[..., 0].set(t0)
+    out = jax.lax.fori_loop(
+        1, n, lambda j, o: o.at[..., j].set(body(j)), out)
+    return out if axis in (-1, out.ndim - 1) else jnp.moveaxis(out, -1, axis)
 
 
 def _colA(A, Cp):
     """"paqb,qbj->paj": per-pose-row coupling from the pose-pose matrix."""
     if not _f64(A):
         return jnp.einsum("paqb,qbj->paj", A, Cp)
-    return jnp.stack(
-        [jnp.sum(A * Cp[None, None, :, :, j], axis=(2, 3)) for j in range(6)],
-        axis=-1)
+    return _stackloop(6, lambda j: jnp.sum(
+        A * _ix(Cp, 2, j)[None, None, :, :], axis=(2, 3)))
 
 
 def _colW(Wd, Cf):
     """"pnab,nbj->paj"."""
     if not _f64(Wd):
         return jnp.einsum("pnab,nbj->paj", Wd, Cf)
-    return jnp.stack(
-        [jnp.sum(Wd * Cf[None, :, None, :, j], axis=(1, 3)) for j in range(6)],
-        axis=-1)
+    return _stackloop(6, lambda j: jnp.sum(
+        Wd * _ix(Cf, 2, j)[None, :, None, :], axis=(1, 3)))
 
 
 def _qW(Cp, Wd):
     """"pai,pnaf->nif"."""
     if not _f64(Wd):
         return jnp.einsum("pai,pnaf->nif", Cp, Wd)
-    return jnp.stack(
-        [jnp.sum(Cp[:, None, :, None, i] * Wd, axis=(0, 2)) for i in range(6)],
-        axis=1)
+    return _stackloop(6, lambda i: jnp.sum(
+        _ix(Cp, 2, i)[:, None, :, None] * Wd, axis=(0, 2)), axis=1)
 
 
 def _qV(Cf, V):
     """"nai,naf->nif"."""
     if not _f64(V):
         return jnp.einsum("nai,naf->nif", Cf, V)
-    return jnp.stack(
-        [jnp.sum(Cf[:, :, i, None] * V, axis=1) for i in range(6)], axis=1)
+    return _stackloop(6, lambda i: jnp.sum(
+        _ix(Cf, 2, i)[:, :, None] * V, axis=1), axis=1)
 
 
 def _ct_small(Ca, T):
@@ -137,25 +163,24 @@ def _crossWW(Wd, Cbf):
     """"pnij,njb->pib"."""
     if not _f64(Wd):
         return jnp.einsum("pnij,njb->pib", Wd, Cbf)
-    return jnp.stack(
-        [jnp.sum(Wd * Cbf[None, :, None, :, b], axis=(1, 3)) for b in range(6)],
-        axis=-1)
+    return _stackloop(6, lambda b: jnp.sum(
+        Wd * _ix(Cbf, 2, b)[None, :, None, :], axis=(1, 3)))
 
 
 def _crossWT(Wd, Cbp):
     """"pnij,pib->njb"."""
     if not _f64(Wd):
         return jnp.einsum("pnij,pib->njb", Wd, Cbp)
-    return jnp.stack(
-        [jnp.sum(Wd * Cbp[:, None, :, None, b], axis=(0, 2)) for b in range(6)],
-        axis=-1)
+    return _stackloop(6, lambda b: jnp.sum(
+        Wd * _ix(Cbp, 2, b)[:, None, :, None], axis=(0, 2)))
 
 
 def _VC(V, Cf):
     """"nij,njb->nib"."""
     if not _f64(V):
         return jnp.einsum("nij,njb->nib", V, Cf)
-    return sum(V[:, :, j, None] * Cf[:, j, None, :] for j in range(3))
+    return _accum(3, lambda j: _ix(V, 2, j)[:, :, None]
+                  * _ix(Cf, 1, j)[:, None, :])
 
 
 # ---------------------------------------------------------------------------
