@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -81,6 +82,7 @@ class DeviceTreeSolver:
         # with f32-factor+refinement solves.
         self.mixed_max_m = mixed_max_m if method == "refine" else 0
         self._progs: dict = {}
+        self._aot: dict = {}   # same keys as _progs -> AOT-compiled executable
         self.join_count = 0
 
     def _cfg(self, joined_m: int) -> join_mod.JoinConfig:
@@ -121,9 +123,12 @@ class DeviceTreeSolver:
         return dcompact.compact_device(t, *caps_out)[0]
 
     # -- level program ---------------------------------------------------------
-    def _level_program(self, lp: plan_mod.LevelPlan):
+    def _level_key(self, lp: plan_mod.LevelPlan):
         cfg = self._cfg(2 * lp.caps_in[0])
-        key = (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg)
+        return (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg), cfg
+
+    def _level_program(self, lp: plan_mod.LevelPlan):
+        key, cfg = self._level_key(lp)
         if key in self._progs:
             return self._progs[key]
         count = lp.count
@@ -134,7 +139,7 @@ class DeviceTreeSolver:
         idx_nr = tuple(i for i in range(nxt) if not lp.regauge[i])
         perm = np.argsort(np.array(idx_nr + idx_rg, np.int32))
 
-        def prog(x: types.LocalMap) -> types.LocalMap:
+        def prog(x: types.LocalMap) -> types.LocalMap:  # noqa: ANN001
             G = jax.tree.map(lambda a: a[0:2 * npair:2], x)
             Mb = jax.tree.map(lambda a: a[1:2 * npair:2], x)
             merged = jax.vmap(lambda g, m: self._merge_one(g, m, cfg))(G, Mb)
@@ -182,6 +187,41 @@ class DeviceTreeSolver:
         self._progs[key] = jax.jit(prog)
         return self._progs[key]
 
+    # -- ahead-of-time concurrent compilation --------------------------------
+    def ensure_warm(self, tp: plan_mod.TreePlan, x_shape) -> int:
+        """AOT-compile every missing level/final program CONCURRENTLY.
+
+        A remote XLA compile over the axon TPU tunnel costs minutes per
+        program, but the compile service handles parallel requests: lowering
+        runs serially on the host (cheap, a few s/level), then every missing
+        executable compiles in a thread pool, so a fully cold tree costs
+        ~max(single program compile) wall instead of the sum. Persistent-cache
+        hits load concurrently the same way. Returns #programs compiled."""
+        work = []  # (key, lowered)
+        for lp in tp.levels:
+            key = self._level_key(lp)[0]
+            if key in self._aot:
+                x_shape = self._aot[key][1]
+                continue
+            low = self._level_program(lp).lower(x_shape)
+            work.append((key, low))
+            x_shape = low.out_info
+        fkey = ("final", tp.root_caps, tp.root_regauge)
+        if fkey not in self._aot:
+            low = self._final_program(tp.root_caps, tp.root_regauge).lower(
+                x_shape)
+            work.append((fkey, low))
+        if not work:
+            return 0
+        t0 = time.time()
+        with ThreadPoolExecutor(min(len(work), 16)) as ex:
+            futs = [(k, low, ex.submit(low.compile)) for k, low in work]
+            for k, low, f in futs:
+                self._aot[k] = (f.result(), low.out_info)
+        log.info("warm: compiled %d programs in %.1fs", len(work),
+                 time.time() - t0)
+        return len(work)
+
     # -- full tree -----------------------------------------------------------
     def run(self, maps: list[types.LocalMap], metrics=None) -> types.LocalMap:
         t0 = time.time()
@@ -211,10 +251,18 @@ class DeviceTreeSolver:
             W=grow(stacked.W, KWi), Wpf=grow(stacked.Wpf, KWi),
             V=grow(stacked.V, Ni))
         t2 = time.time()
+        x_shape = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), stacked)
+        try:
+            self.ensure_warm(tp, x_shape)
+        except Exception as e:  # AOT is an optimization; jit path still works
+            log.warning("AOT warm failed (%s); falling back to jit", e)
+        t2b = time.time()
         x = jax.device_put(stacked)
         t3 = time.time()
         for li, lp in enumerate(plans):
-            x = self._level_program(lp)(x)
+            aot = self._aot.get(self._level_key(lp)[0])
+            x = aot[0](x) if aot else self._level_program(lp)(x)
             self.join_count += lp.count // 2
             if metrics is not None:
                 metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,
@@ -223,7 +271,9 @@ class DeviceTreeSolver:
             if self.progress:
                 log.info("Level %d dispatched (%d maps)", li + 1,
                          (lp.count + 1) // 2)
-        y = self._final_program(tp.root_caps, tp.root_regauge)(x)
+        aot = self._aot.get(("final", tp.root_caps, tp.root_regauge))
+        y = (aot[0](x) if aot
+             else self._final_program(tp.root_caps, tp.root_regauge)(x))
         t4 = time.time()
         # Fetch only the solution (ids/states/counts/gauge) eagerly; the info
         # blocks stay device-resident jax Arrays and transfer lazily on first
@@ -237,7 +287,8 @@ class DeviceTreeSolver:
             n_poses=n_poses, n_feats=n_feats, n_U=n_U, n_W=n_W, gauge=gauge)
         self._last_timing = dict(compact=round(t1 - t0, 4),
                                  plan=round(t2 - t1, 4),
-                                 upload=round(t3 - t2, 4),
+                                 warm=round(t2b - t2, 4),
+                                 upload=round(t3 - t2b, 4),
                                  levels=round(t4 - t3, 4),
                                  get=round(time.time() - t4, 4))
         return host
