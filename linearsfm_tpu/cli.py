@@ -23,7 +23,8 @@ def _print_help():
     print("-num           Number of Initial Reconstruction")
     print("-type          Set Data Type: Monocular | Stereo")
     print("--method       Solver precision: direct | refine (f32+refinement)")
-    print("--exec         Tree executor: device (resident, fastest) | host")
+    print("--exec         Tree executor: device (resident, fastest) | host |")
+    print("               dense (experimental fused-level pipeline)")
     print("--cpu          Force CPU backend")
     print("--ckpt DIR     Save per-level checkpoints to DIR")
     print("--resume       Resume from the latest checkpoint in --ckpt DIR")
@@ -75,9 +76,9 @@ def main(argv=None):
 
     from .core import pipeline
     datatype = "mono" if opts["type"] == "Monocular" else "stereo"
-    # checkpoint/resume needs the host scheduler; otherwise default to the
-    # device-resident executor (fastest on TPU).
-    executor = opts["exec"] or ("host" if (opts["ckpt"] or opts["resume"]) else "device")
+    # Default to the device-resident executor (fastest on TPU; also supports
+    # checkpoint/resume via stacked level-boundary snapshots).
+    executor = opts["exec"] or "device"
     final, wall = pipeline.run(
         opts["path"], int(opts["num"]), datatype,
         st_path=opts["st"], pose_path=opts["p"], feat_path=opts["f"],

@@ -390,14 +390,26 @@ class DenseTreeSolver:
             lps = plan.levels
             ntail = sum(1 for lp in lps if lp.count <= self.fuse_max_count)
             nhead = len(lps) - ntail
-            for lp in lps[:nhead]:
+            for li, lp in enumerate(lps[:nhead]):
                 x = self._chunk_program((lp,), None)(
                     x, (bundle_of(lp),), root_slots)
                 self.join_count += lp.count // 2
+                if metrics is not None:
+                    metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,
+                                   M=lp.caps_out[0], N=lp.caps_out[1],
+                                   wall=round(time.time() - t0, 4))
             tail = lps[nhead:]
             y = self._chunk_program(tail, plan.root_regauge)(
                 x, tuple(bundle_of(lp) for lp in tail), root_slots)
             self.join_count += sum(lp.count // 2 for lp in tail)
+            if metrics is not None:
+                # the fused tail is one program: record its levels as one
+                # dispatch each, sharing the program's wall
+                for ti, lp in enumerate(tail):
+                    metrics.record(nhead + ti + 1, (lp.count + 1) // 2,
+                                   lp.count // 2, M=lp.caps_out[0],
+                                   N=lp.caps_out[1], fused=True,
+                                   wall=round(time.time() - t0, 4))
         else:
             for li, lp in enumerate(plan.levels):
                 x = self._level_program(lp)(x, bundle_of(lp))

@@ -30,6 +30,7 @@ import numpy as np
 
 from .. import types
 from ..ops import congruence
+from ..utils import checkpoint
 from . import compact as compact_mod
 from . import dcompact
 from . import join as join_mod
@@ -223,7 +224,9 @@ class DeviceTreeSolver:
         return len(work)
 
     # -- full tree -----------------------------------------------------------
-    def run(self, maps: list[types.LocalMap], metrics=None) -> types.LocalMap:
+    def run(self, maps: list[types.LocalMap], metrics=None,
+            ckpt_dir: str | None = None,
+            resume: bool = False) -> types.LocalMap:
         t0 = time.time()
         stacked = compact_mod.compact_stack(maps, self.bucket, self.u_bucket)
         t1 = time.time()
@@ -258,11 +261,29 @@ class DeviceTreeSolver:
         except Exception as e:  # AOT is an optimization; jit path still works
             log.warning("AOT warm failed (%s); falling back to jit", e)
         t2b = time.time()
+        start_level = 0
+        if resume and ckpt_dir:
+            got = checkpoint.latest_stacked(ckpt_dir)
+            if got is not None:
+                lvl, st = got
+                want = (plans[lvl].count, plans[lvl].caps_in[0]) \
+                    if lvl < len(plans) else \
+                    ((plans[-1].count + 1) // 2, plans[-1].caps_out[0])
+                if st.pose_ids.shape == want:
+                    stacked, start_level = st, lvl
+                    log.info("resuming at level %d from %s", lvl, ckpt_dir)
+                else:
+                    log.warning("checkpoint shape %s mismatches plan %s; "
+                                "restarting", st.pose_ids.shape, want)
         x = jax.device_put(stacked)
         t3 = time.time()
         for li, lp in enumerate(plans):
+            if li < start_level:
+                continue
             aot = self._aot.get(self._level_key(lp)[0])
             x = aot[0](x) if aot else self._level_program(lp)(x)
+            if ckpt_dir:
+                checkpoint.save_stacked(ckpt_dir, li + 1, jax.device_get(x))
             self.join_count += lp.count // 2
             if metrics is not None:
                 metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,

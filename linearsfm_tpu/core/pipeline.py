@@ -51,13 +51,14 @@ def run(path: str, num: int, datatype: str,
         else:
             solver = TreeSolver(datatype, method=method, progress=progress)
     import jax
+    from .device_tree import DeviceTreeSolver
     t0 = time.time()
     kw = dict(metrics=metrics)
-    if not isinstance(solver, TreeSolver):
-        if ckpt_dir or resume:
-            log.warning("checkpoint/resume requires the host executor; ignoring")
-    else:
+    if isinstance(solver, (TreeSolver, DeviceTreeSolver)):
         kw.update(ckpt_dir=ckpt_dir, resume=resume)
+    elif ckpt_dir or resume:
+        log.warning("checkpoint/resume requires the host or device executor; "
+                    "ignoring")
     if trace_dir:
         with jax.profiler.trace(trace_dir):
             final = solver.run(maps, **kw)

@@ -90,11 +90,15 @@ def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
     W rows for each feature (arbitrary order), padded with 0.
 
     `entry_valid[KW]` masks padding entries (they would otherwise crowd the
-    bucket of feature 0, whose slot index padding reuses). Entries beyond
-    `max_obs` per feature are silently dropped — callers must size `max_obs`
-    from host-side metadata (see core/plan.py).
+    bucket of feature 0, whose slot index padding reuses). A valid entry
+    beyond `max_obs` for its feature would silently corrupt the Schur sum, so
+    any such overflow POISONS the validity mask with NaN-producing weights
+    (see assemble_schur) — callers size `max_obs` from host-side metadata
+    (TreeSolver._max_obs_per_feature is exact) and an undersized bound
+    surfaces as NaNs, never as a quietly-wrong solution.
 
     Works on traced arrays: rank-within-feature is computed by sorting.
+    Returns (entry[N,max_obs], valid[N,max_obs], overflowed[scalar bool]).
     """
     KW = Wpf.shape[0]
     f = Wpf[:, 1]
@@ -108,13 +112,14 @@ def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
     first = jax.ops.segment_min(pos, fs, num_segments=N + 1)
     rank = pos - first[fs]
     ok = (rank < max_obs) & (fs < N)
+    overflowed = jnp.any((rank >= max_obs) & (fs < N))
     col = jnp.where(ok, rank, 0)
     row = jnp.where(ok, fs, N)
     entry = jnp.zeros((N + 1, max_obs), jnp.int32)
     entry = entry.at[row, col].set(jnp.where(ok, order, 0).astype(jnp.int32), mode="drop")
     valid = jnp.zeros((N + 1, max_obs), bool)
     valid = valid.at[row, col].set(ok, mode="drop")
-    return entry[:N], valid[:N]
+    return entry[:N], valid[:N], overflowed
 
 
 def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
@@ -185,8 +190,11 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
     # Entries with an exactly-zero block (padding or dropped couplings)
     # contribute nothing; exclude them so they don't crowd feature buckets.
     entry_valid = jnp.any(W != 0, axis=(1, 2))
-    entry, valid = group_by_feature(Wpf, N, max_obs, entry_valid=entry_valid)
-    Wg = W[entry] * valid[..., None, None]          # [N, O, 6, 3]
+    entry, valid, overflowed = group_by_feature(Wpf, N, max_obs,
+                                                entry_valid=entry_valid)
+    # Undersized max_obs would silently drop Schur terms; poison instead.
+    poison = jnp.where(overflowed, jnp.nan, 1.0).astype(dtype)
+    Wg = W[entry] * valid[..., None, None] * poison  # [N, O, 6, 3]
     pg = wp[entry]                                  # [N, O]
 
     # Pairwise outer products W_f Vinv_f W_f^T, accumulated in feature chunks:

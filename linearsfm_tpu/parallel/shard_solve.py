@@ -54,8 +54,10 @@ def sharded_schur_solve(U, Uij, W, Wpf, V, eP, eF, M: int, max_obs: int,
 
     Vinv = schur.inv3x3_sym(V)
     entry_valid = jnp.any(W != 0, axis=(1, 2))
-    entry, valid = schur.group_by_feature(Wpf, N, max_obs, entry_valid=entry_valid)
-    Wg = W[entry]                       # [N, O, 6, 3]
+    entry, valid, overflowed = schur.group_by_feature(
+        Wpf, N, max_obs, entry_valid=entry_valid)
+    # Undersized max_obs would silently drop Schur terms; poison instead.
+    Wg = W[entry] * jnp.where(overflowed, jnp.nan, 1.0).astype(W.dtype)
     pg = Wpf[:, 0][entry]               # [N, O]
 
     def padf(x):

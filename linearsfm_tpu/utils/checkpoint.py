@@ -50,3 +50,40 @@ def latest(ckpt_dir: str):
         maps.append(types.LocalMap(
             **{k: jnp.asarray(f[k]) for k in _FIELDS}, gauge=gauge))
     return level, maps
+
+
+# ---------------------------------------------------------------------------
+# Stacked checkpoints (device-resident executor).
+#
+# The device tree's level boundary is ONE stacked [count, ...caps] LocalMap
+# pytree; a checkpoint is a single .npz of its leaves plus the level index.
+# Resume re-derives the (deterministic) capacity plan from the input maps and
+# validates the stored shapes against it before skipping completed levels.
+# ---------------------------------------------------------------------------
+
+def save_stacked(ckpt_dir: str, level: int, st: types.LocalMap) -> None:
+    """Persist the stacked level-boundary map set (input of level `level`)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    arrs = {f: np.asarray(getattr(st, f)) for f in _FIELDS}
+    arrs.update({f"gauge_{f}": np.asarray(getattr(st.gauge, f))
+                 for f in _GAUGE})
+    tmp = os.path.join(ckpt_dir, "stacked.npz.tmp")
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **arrs)
+    os.replace(tmp, os.path.join(ckpt_dir, f"stacked_level{level}.npz"))
+    mtmp = os.path.join(ckpt_dir, "stacked_manifest.json.tmp")
+    with open(mtmp, "w") as fh:
+        json.dump(dict(level=level), fh)
+    os.replace(mtmp, os.path.join(ckpt_dir, "stacked_manifest.json"))
+
+
+def latest_stacked(ckpt_dir: str):
+    """Returns (level, stacked LocalMap) of the newest checkpoint, or None."""
+    path = os.path.join(ckpt_dir, "stacked_manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        level = json.load(fh)["level"]
+    f = np.load(os.path.join(ckpt_dir, f"stacked_level{level}.npz"))
+    gauge = types.Gauge(**{k: f[f"gauge_{k}"] for k in _GAUGE})
+    return level, types.LocalMap(**{k: f[k] for k in _FIELDS}, gauge=gauge)

@@ -96,7 +96,7 @@ def main():
 
     def grouped(W, Wpf, Vi):
         def one(W, Wpf, Vi):
-            entry, valid = schur.group_by_feature(Wpf, N, O)
+            entry, valid, _ = schur.group_by_feature(Wpf, N, O)
             Wg = W[entry] * valid[..., None, None]
             Yc = jnp.einsum("nofk,nkl->nofl", Wg, Vi)
             return jnp.einsum("nofk,npgk->nopfg", Yc, Wg)
