@@ -66,22 +66,34 @@ class DeviceTreeSolver:
     def __init__(self, datatype: str, method: str = "refine",
                  refine_iters: int = 3, bucket: int = 16, u_bucket: int = 64,
                  pin: str = "sign", progress: bool = False,
-                 mixed_max_m: int = 32):
+                 mixed_max_m: int = 32, direct_min_m: int = 192,
+                 plan_offset: int = 0, final_regauge: bool = True):
         assert datatype in ("stereo", "mono")
         self.datatype = datatype
+        # Subtree execution (multi-host host-local phase): global map offset
+        # for the position-parity re-gauge policy + whether the tree root is
+        # the WHOLE problem's root (parallel/multihost.py).
+        self.plan_offset = plan_offset
+        self.final_regauge = final_regauge
         self.method = method
         self.refine_iters = refine_iters
         self.pin = pin
         self.bucket = bucket
         self.u_bucket = u_bucket
         self.progress = progress
-        # Mixed-precision policy (method="refine" only): tree levels whose
-        # fused camera system has <= mixed_max_m poses run the information
-        # path in f32 — cond(S) grows with trajectory length, so low levels
-        # are far from the f32 cliff while carrying most of the batch work.
-        # Levels above the threshold (and the root) use full f64 information
-        # with f32-factor+refinement solves.
+        # Three-band mixed-precision policy (method="refine" only), driven by
+        # cond(S) ~ trajectory length of the fused system:
+        #   joined_m <= mixed_max_m : f32 information + f32 direct solve —
+        #       far from the f32 cliff, carries most of the batch work.
+        #   mixed_max_m < m < direct_min_m : f64 information, f32-factor
+        #       Cholesky + f64 block-list iterative refinement (MXU speed).
+        #   joined_m >= direct_min_m : full f64 direct solve. The f32-factor
+        #       preconditioner stops contracting once cond(S)*eps_f32 ~ 1
+        #       (measured: 1024-map stereo diverges, ATE 72 vs oracle 1.06),
+        #       so the top levels pay emulated-f64 matmuls — few lanes, and
+        #       correctness is non-negotiable there.
         self.mixed_max_m = mixed_max_m if method == "refine" else 0
+        self.direct_min_m = direct_min_m if method == "refine" else 0
         self._progs: dict = {}
         self._aot: dict = {}   # same keys as _progs -> AOT-compiled executable
         self.join_count = 0
@@ -91,6 +103,10 @@ class DeviceTreeSolver:
             return join_mod.JoinConfig(
                 max_obs=1, method="direct", pin=self.pin, dense_schur=True,
                 info_dtype="float32")
+        if self.direct_min_m and joined_m >= self.direct_min_m:
+            return join_mod.JoinConfig(
+                max_obs=1, method="direct", pin=self.pin, dense_schur=True,
+                info_dtype="float64")
         return join_mod.JoinConfig(
             max_obs=1, method=self.method, refine_iters=self.refine_iters,
             pin=self.pin, dense_schur=True, info_dtype="float64")
@@ -232,7 +248,9 @@ class DeviceTreeSolver:
         t1 = time.time()
         syms = plan_mod.sym_of_stacked(stacked)
         tp = plan_mod.plan_tree_exact(syms, self.datatype, self.bucket,
-                                      self.u_bucket)
+                                      self.u_bucket,
+                                      map_offset=self.plan_offset,
+                                      final_regauge=self.final_regauge)
         if not tp:
             return jax.tree.map(lambda a: a[0], stacked)
         plans = tp.levels

@@ -246,27 +246,42 @@ class TreePlan:
 
 
 def plan_tree_exact(syms: list[SymNode], datatype: str, bucket: int = 16,
-                    u_bucket: int = 64) -> TreePlan:
-    """Exact per-level capacity plan from the id-space tree simulation."""
+                    u_bucket: int = 64, map_offset: int = 0,
+                    final_regauge: bool = True) -> TreePlan:
+    """Exact per-level capacity plan from the id-space tree simulation.
+
+    map_offset: global index of syms[0] when planning a SUBTREE of a larger
+    merge tree (multi-host host-local phase, parallel/multihost.py). The
+    every-2nd-map re-gauge keys on the GLOBAL output position
+    (LinearSFMImp.cpp:1997), so level-l positions are offset by
+    map_offset / 2^(l+1); the offset must stay integral (power-of-two chunk
+    sizes and aligned offsets guarantee it).
+    final_regauge=False skips the global-root re-gauge, which belongs to the
+    WHOLE tree's root only, not to a subtree root.
+    """
     plans = []
+    off = map_offset
     while len(syms) > 1:
         count = len(syms)
         npair = count // 2
         nxt = (count + 1) // 2
+        assert off % 2 == 0, \
+            f"subtree offset {map_offset} unaligned at count {count}"
+        off //= 2
         caps_in = _caps([s.counts() for s in syms], bucket, u_bucket)
         out = []
         flags = []
         for i in range(nxt):
             n = (_sym_join(syms[2 * i], syms[2 * i + 1], datatype)
                  if i < npair else syms[2 * i])
-            n, f = _sym_finish(n, i, datatype)
+            n, f = _sym_finish(n, off + i, datatype)
             out.append(n)
             flags.append(f)
         caps_out = _caps([s.counts() for s in out], bucket, u_bucket)
         plans.append(LevelPlan(count, caps_in, caps_out, tuple(flags)))
         syms = out
     root = syms[0]
-    root_rg = bool(root.ref > root.fref)
+    root_rg = final_regauge and bool(root.ref > root.fref)
     if root_rg:
         root = _sym_transform(root, root.fref, root.fscap, datatype)
     return TreePlan(tuple(plans), root_rg,

@@ -153,7 +153,10 @@ class TreeSolver:
         M, N, KU, KW = self._common_capacity(both)
         both = [lm.pad_to(M, N, KU, KW) for lm in both]
         gs, ms = both[:len(gs)], both[len(gs):]
-        mo = types.bucket(max(_max_obs_per_feature(g) for g in gs) +
+        # +1/+2: merge_one transforms g IN-program, which emits one (r,f)
+        # coupling per feature (mono also (s,f)) on top of g's own entries.
+        span = 1 if self.datatype == "stereo" else 2
+        mo = types.bucket(max(_max_obs_per_feature(g) for g in gs) + span +
                           max(_max_obs_per_feature(m) for m in ms), 4)
         npair = len(gs)
         ndev = 1 if self.mesh is None else int(self.mesh.devices.size)

@@ -159,12 +159,36 @@ def _local_frame(poses_gt, ref):
     return pose_local, feat_local
 
 
+def _covis_extra(lo, hi, poses_gt, feats_gt, owner, radius, cap, rng):
+    """Loop-closure / cross-strip co-visibility: indices of features owned by
+    poses OUTSIDE [lo, hi] but within `radius` of the local maps's cameras.
+
+    The reference datasets all have this structure (RS* loops and the AP_*
+    lawnmower strips revisit old landmarks, /root/reference/README.txt:63-65,
+    Documentation Fig. 1-2); without it every feature is seen by <=2 maps and
+    the root Schur system stays near-block-diagonal."""
+    if radius <= 0 or cap <= 0:
+        return np.zeros(0, np.int64)
+    mid = poses_gt[lo:hi + 1, 0:3].mean(axis=0)
+    d = np.linalg.norm(feats_gt - mid, axis=1)
+    cand = np.where((d <= radius) & ((owner < lo) | (owner > hi)))[0]
+    if len(cand) > cap:
+        cand = rng.choice(cand, size=cap, replace=False)
+        cand.sort()
+    return cand
+
+
 def make_stereo_map(k, poses_gt, feats_gt, owner, feats_per_pose,
-                    noise=0.0, rng=None, prior_w=100.0):
-    """Local map k: ref=k implicit, explicit pose k+1, features of poses k,k+1."""
+                    noise=0.0, rng=None, prior_w=100.0,
+                    covis_radius=0.0, covis_max=0):
+    """Local map k: ref=k implicit, explicit pose k+1, features of poses k,k+1
+    plus any co-visible (loop-closure) features within covis_radius."""
     rng = rng or np.random.default_rng(k)
     pose_local, feat_local = _local_frame(poses_gt, k)
     fsel = np.where((owner == k) | (owner == k + 1))[0]
+    extra = _covis_extra(k, k + 1, poses_gt, feats_gt, owner,
+                         covis_radius, covis_max, rng)
+    fsel = np.concatenate([fsel, extra])
     feat_ids = 1000 + fsel
     feats = np.stack([feat_local(feats_gt[f]) for f in fsel])
     pose_ids = np.array([k + 1])
@@ -192,7 +216,8 @@ def make_stereo_map(k, poses_gt, feats_gt, owner, feats_per_pose,
 
 
 def make_mono_map(k, poses_gt, feats_gt, owner, feats_per_pose,
-                  noise=0.0, rng=None, prior_w=100.0, pin_row="zero"):
+                  noise=0.0, rng=None, prior_w=100.0, pin_row="zero",
+                  covis_radius=0.0, covis_max=0):
     """Mono map k: explicit poses {k,k+1,k+2}, ref=k (zero info), scap=k+1,
     scale-normalized so |t_{k+1}[fix]| = 1.
 
@@ -209,6 +234,9 @@ def make_mono_map(k, poses_gt, feats_gt, owner, feats_per_pose,
     scale = abs(p1[fix])
 
     fsel = np.where((owner >= k) & (owner <= k + 2))[0]
+    fsel = np.concatenate([fsel, _covis_extra(k, k + 2, poses_gt, feats_gt,
+                                              owner, covis_radius, covis_max,
+                                              rng)])
     feat_ids = 1000 + fsel
     feats = np.stack([feat_local(feats_gt[f]) for f in fsel]) / scale
     p1 = p1.copy(); p2 = p2.copy()
@@ -251,18 +279,22 @@ def make_mono_map(k, poses_gt, feats_gt, owner, feats_per_pose,
 
 
 def make_dataset(num_maps: int, datatype: str = "stereo", feats_per_pose: int = 4,
-                 noise: float = 0.0, seed: int = 0, pattern: str = "loop"):
+                 noise: float = 0.0, seed: int = 0, pattern: str = "loop",
+                 covis_radius: float = 0.0, covis_max: int = 0):
     """Returns (maps: list[SynthMap], poses_gt, feats_gt).
 
     The ground truth is expressed in the final output gauge: frame of pose 0;
-    for mono additionally scale-normalized to the first map's gauge."""
+    for mono additionally scale-normalized to the first map's gauge.
+    covis_radius/covis_max > 0 add loop-closure co-visibility (features of
+    distant poses re-observed when the trajectory passes within the radius)."""
     span = 2 if datatype == "stereo" else 3
     P = num_maps + span - 1
     poses_gt, feats_gt, owner = make_world(P, feats_per_pose, seed=seed,
                                            pattern=pattern)
     rng = np.random.default_rng(seed + 12345)
     mk = make_stereo_map if datatype == "stereo" else make_mono_map
-    maps = [mk(k, poses_gt, feats_gt, owner, feats_per_pose, noise=noise, rng=rng)
+    maps = [mk(k, poses_gt, feats_gt, owner, feats_per_pose, noise=noise,
+               rng=rng, covis_radius=covis_radius, covis_max=covis_max)
             for k in range(num_maps)]
     if datatype == "mono":
         # normalize truth to the first map's scale gauge
@@ -289,11 +321,17 @@ def main():
     ap.add_argument("--feats", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--pattern", choices=["loop", "grid"], default="loop")
+    ap.add_argument("--covis-radius", type=float, default=0.0,
+                    help="loop-closure co-visibility radius (world units)")
+    ap.add_argument("--covis-max", type=int, default=0,
+                    help="max extra co-visible features per map")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
     maps, poses_gt, feats_gt = make_dataset(args.num, args.type, args.feats,
                                             args.noise, args.seed,
-                                            pattern=args.pattern)
+                                            pattern=args.pattern,
+                                            covis_radius=args.covis_radius,
+                                            covis_max=args.covis_max)
     write_dataset(maps, args.out)
     np.savetxt(os.path.join(args.out, "gt_poses.txt"),
                np.concatenate([np.arange(len(poses_gt))[:, None], poses_gt], axis=1))
