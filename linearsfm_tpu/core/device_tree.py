@@ -66,7 +66,8 @@ class DeviceTreeSolver:
     def __init__(self, datatype: str, method: str = "refine",
                  refine_iters: int = 3, bucket: int = 16, u_bucket: int = 64,
                  pin: str = "sign", progress: bool = False,
-                 mixed_max_m: int = 32, direct_min_m: int = 192,
+                 mixed_max_m: int = 0, direct_min_m: int = 0,
+                 top_min_m: int = 256, top_iters: int = 16,
                  plan_offset: int = 0, final_regauge: bool = True):
         assert datatype in ("stereo", "mono")
         self.datatype = datatype
@@ -81,19 +82,29 @@ class DeviceTreeSolver:
         self.bucket = bucket
         self.u_bucket = u_bucket
         self.progress = progress
-        # Three-band mixed-precision policy (method="refine" only), driven by
-        # cond(S) ~ trajectory length of the fused system:
-        #   joined_m <= mixed_max_m : f32 information + f32 direct solve —
-        #       far from the f32 cliff, carries most of the batch work.
-        #   mixed_max_m < m < direct_min_m : f64 information, f32-factor
-        #       Cholesky + f64 block-list iterative refinement (MXU speed).
-        #   joined_m >= direct_min_m : full f64 direct solve. The f32-factor
-        #       preconditioner stops contracting once cond(S)*eps_f32 ~ 1
-        #       (measured: 1024-map stereo diverges, ATE 72 vs oracle 1.06),
-        #       so the top levels pay emulated-f64 matmuls — few lanes, and
-        #       correctness is non-negotiable there.
+        # Mixed-precision policy (method="refine" only): the INFORMATION path
+        # (congruence, info vectors, PCG matvecs) is always f64 — computed as
+        # broadcast-multiply-sums so it stays true f64 on TPU (ops/smallmat);
+        # every MATMUL-shaped op (dense Schur assembly, Cholesky, triangular
+        # solves) runs in f32 on the MXU as the PCG preconditioner
+        # (ops/schur.solve_full_mixed). Iteration bands:
+        #   joined_m < top_min_m : `refine_iters` PCG sweeps;
+        #   joined_m >= top_min_m: `top_iters` sweeps — cond(S) grows with
+        #       trajectory length and the preconditioner quality floor is
+        #       cond*eps_f32, so the few top-level lanes pay more cheap
+        #       VPU iterations.
+        # mixed_max_m > 0 would run levels below that size with f32
+        # INFORMATION too — measured at 1024 maps to poison the whole tree
+        # (ATE 68 vs oracle 1.06): low-level info error is amplified by
+        # cond(I) of everything above. Off by default; the f32 info band is
+        # only safe for short subsequences.
+        # direct_min_m (default off) switches levels >= that size to a plain
+        # f64 dense factorization — exact on CPU, but NOT on this TPU, where
+        # f64 matmul-shaped ops silently run at ~f32 (axon demotion).
         self.mixed_max_m = mixed_max_m if method == "refine" else 0
         self.direct_min_m = direct_min_m if method == "refine" else 0
+        self.top_min_m = top_min_m
+        self.top_iters = top_iters
         self._progs: dict = {}
         self._aot: dict = {}   # same keys as _progs -> AOT-compiled executable
         self.join_count = 0
@@ -107,8 +118,10 @@ class DeviceTreeSolver:
             return join_mod.JoinConfig(
                 max_obs=1, method="direct", pin=self.pin, dense_schur=True,
                 info_dtype="float64")
+        iters = (self.top_iters if joined_m >= self.top_min_m
+                 else self.refine_iters)
         return join_mod.JoinConfig(
-            max_obs=1, method=self.method, refine_iters=self.refine_iters,
+            max_obs=1, method=self.method, refine_iters=iters,
             pin=self.pin, dense_schur=True, info_dtype="float64")
 
     # -- building blocks -----------------------------------------------------

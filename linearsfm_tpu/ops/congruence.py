@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from .. import types
 from . import gauge as G
+from .smallmat import bmm, bmm_tn, congr
 
 
 def _seg(vals, idx, num):
@@ -60,48 +61,50 @@ def congruence_emit(U, Uij, W, Wpf, V, Dp, Df, Cp, Cf, r_slot,
     Dui, Duj = Dp[ui], Dp[uj]
     Dwp, Dwf = Dp[wp], Df[wf]
 
-    # Transformed existing blocks: D_i^T B D_j.
-    U_t = jnp.einsum("kai,kab,kbj->kij", Dui, U, Duj)
-    W_t = jnp.einsum("kai,kab,kbj->kij", Dwp, W, Dwf)
-    V_t = jnp.einsum("nai,nab,nbj->nij", Df, V, Df)
+    # Transformed existing blocks: D_i^T B D_j. All block contractions here
+    # go through ops/smallmat (broadcast-multiply-sum): an f64 dot_general
+    # silently demotes to ~f32 on this TPU, and the congruence products ARE
+    # the information path — einsum would quietly destroy f64 fusion.
+    U_t = congr(Dui, U, Duj)
+    W_t = congr(Dwp, W, Dwf)
+    V_t = congr(Df, V, Df)
 
     def couplings(Cp_, Cf_):
         # M_[i] = sum_j I_ij C_j  (pose rows); Q_[f] = sum_i C_i^T I_if (feat rows).
-        mr = _seg(jnp.einsum("kab,kbj->kaj", U, Cp_[uj]), ui, M)
-        mr += _seg(jnp.where(offdiag, jnp.einsum("kba,kbj->kaj", U, Cp_[ui]), 0.0), uj, M)
-        mr += _seg(jnp.einsum("kab,kbj->kaj", W, Cf_[wf]), wp, M)
-        q = _seg(jnp.einsum("kba,kbf->kaf", Cp_[wp], W), wf, N)  # C_p^T W_pf -> [N,6,3]
-        q += jnp.einsum("nba,nbf->naf", Cf_, V)
+        mr = _seg(bmm(U, Cp_[uj]), ui, M)
+        mr += _seg(jnp.where(offdiag, bmm_tn(U, Cp_[ui]), 0.0), uj, M)
+        mr += _seg(bmm(W, Cf_[wf]), wp, M)
+        q = _seg(bmm_tn(Cp_[wp], W), wf, N)  # C_p^T W_pf -> [N,6,3]
+        q += bmm_tn(Cf_, V)
         return mr, q
 
     # sum over all blocks (both orientations of off-diagonal blocks) of
     # Ca_i^T I_ij Cb_j — the scalar accumulators (r,r)/(s,s)/(r,s).
     def cross(Ca_p, Ca_f, Cb_p, Cb_f):
-        t = jnp.einsum("kia,kij,kjb->ab", Ca_p[ui], U, Cb_p[uj])
-        t += jnp.einsum("kia,kij,kjb->ab",
-                        jnp.where(offdiag, Ca_p[uj], 0.0),
-                        jnp.swapaxes(U, 1, 2), Cb_p[ui])
-        t += jnp.einsum("kia,kij,kjb->ab", Ca_p[wp], W, Cb_f[wf])
-        t += jnp.einsum("kia,kij,kjb->ab", Ca_f[wf], jnp.swapaxes(W, 1, 2), Cb_p[wp])
-        t += jnp.einsum("nia,nij,njb->ab", Ca_f, V, Cb_f)
+        t = jnp.sum(congr(Ca_p[ui], U, Cb_p[uj]), axis=0)
+        t += jnp.sum(congr(jnp.where(offdiag, Ca_p[uj], 0.0),
+                           jnp.swapaxes(U, 1, 2), Cb_p[ui]), axis=0)
+        t += jnp.sum(congr(Ca_p[wp], W, Cb_f[wf]), axis=0)
+        t += jnp.sum(congr(Ca_f[wf], jnp.swapaxes(W, 1, 2), Cb_p[wp]), axis=0)
+        t += jnp.sum(congr(Ca_f, V, Cb_f), axis=0)
         return t
 
     mr, qr = couplings(Cp, Cf)
-    newU_r = jnp.einsum("mai,maj->mij", Dp, mr)       # D_i^T M_r[i], coords (i, r)
+    newU_r = bmm_tn(Dp, mr)                           # D_i^T M_r[i], coords (i, r)
     # Diagonal emission (i == r) needs explicit symmetrisation (no completion).
     at_r = (jnp.arange(M) == r_slot)[:, None, None]
     newU_r = jnp.where(at_r, newU_r + jnp.swapaxes(newU_r, 1, 2), newU_r)
-    newW_r = jnp.einsum("naf,nfj->naj", qr, Df)       # coords (r, f)
+    newW_r = bmm(qr, Df)                              # coords (r, f)
     rr = cross(Cp, Cf, Cp, Cf)
 
     out = dict(U_t=U_t, W_t=W_t, V_t=V_t, newU_r=newU_r, newW_r=newW_r, rr=rr)
 
     if C2p is not None:
         ms, qs = couplings(C2p, C2f)
-        newU_s = jnp.einsum("mai,maj->mij", Dp, ms)
+        newU_s = bmm_tn(Dp, ms)
         at_s = (jnp.arange(M) == s_slot)[:, None, None]
         newU_s = jnp.where(at_s, newU_s + jnp.swapaxes(newU_s, 1, 2), newU_s)
-        newW_s = jnp.einsum("naf,nfj->naj", qs, Df)
+        newW_s = bmm(qs, Df)
         ss = cross(C2p, C2f, C2p, C2f)
         rs = cross(Cp, Cf, C2p, C2f)
         out.update(newU_s=newU_s, newW_s=newW_s, ss=ss, rs=rs)

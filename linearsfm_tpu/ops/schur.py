@@ -24,6 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .smallmat import bmv, bmv_t
+
 
 def inv3x3_sym(V: jax.Array) -> jax.Array:
     """Batched closed-form inverse of 3x3 blocks, symmetrized on output
@@ -62,13 +64,16 @@ def info_vector(poses, feats, U, Uij, W, Wpf, V):
     wp, wf = Wpf[:, 0], Wpf[:, 1]
     offd = (ui != uj)[:, None]
 
-    eP = jax.ops.segment_sum(jnp.einsum("kij,kj->ki", U, poses[uj]), ui, M)
+    # bmv/bmv_t (broadcast-multiply-sum, ops/smallmat.py), NOT einsum: these
+    # run in f64 at the upper tree levels and an f64 dot_general silently
+    # demotes to ~f32 on this TPU.
+    eP = jax.ops.segment_sum(bmv(U, poses[uj]), ui, M)
     eP += jax.ops.segment_sum(
-        jnp.where(offd, jnp.einsum("kji,kj->ki", U, poses[ui]), 0.0), uj, M)
-    eP += jax.ops.segment_sum(jnp.einsum("kif,kf->ki", W, feats[wf]), wp, M)
+        jnp.where(offd, bmv_t(U, poses[ui]), 0.0), uj, M)
+    eP += jax.ops.segment_sum(bmv(W, feats[wf]), wp, M)
 
-    eF = jnp.einsum("nij,nj->ni", V, feats)
-    eF += jax.ops.segment_sum(jnp.einsum("kif,ki->kf", W, poses[wp]), wf, N)
+    eF = bmv(V, feats)
+    eF += jax.ops.segment_sum(bmv_t(W, poses[wp]), wf, N)
     return eP, eF
 
 
@@ -228,22 +233,28 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
 def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
                      max_obs: int = 1, force_dense: bool = False,
                      iters: int = 3, fixc=None, sign=None):
-    """Mixed-precision fusion solve: f32 Schur factorization + full-system
-    f64 refinement.
+    """Mixed-precision fusion solve: f32 Schur factor + full-system f64 PCG.
 
     The reference factorizes the reduced camera system in f64 CHOLMOD
-    (pba_solveCholmodLM, LinearSFMImp.cpp:2380-2449). On TPU, f64 matmuls are
-    emulated and dominate the upper tree levels, so here EVERY matmul-shaped
-    op (dense Schur assembly, Cholesky, triangular solves) runs in f32 on the
-    MXU; full precision is recovered by iterative refinement whose residuals
-    ``r = e - I x`` are computed **directly from the f64 block lists** (cheap
-    VPU segment-sums — no f64 dense matrix is ever formed). The correction
-    step reuses the f32 Schur factor as the preconditioner:
+    (pba_solveCholmodLM, LinearSFMImp.cpp:2380-2449). On this TPU, f64
+    matmul-shaped ops silently run at ~f32 precision (the axon dot_general
+    demotion — a dense "f64" factorization is a lie), so the design keeps
+    EVERY matmul on the f32 MXU and recovers accuracy with **conjugate
+    gradients in f64 on the full information system**, preconditioned by the
+    f32 Schur factorization:
 
-        dx_p = S32^{-1} (r_P - W V^{-1} r_F),  dx_f = V32^{-1} (r_F - W^T dx_p)
+      matvec:   r = I x via the f64 block lists (exact VPU segment-sums —
+                no f64 dense matrix, no f64 matmul anywhere);
+      M^{-1} r: dx_p = S32^{-1}(r_P - W V^{-1} r_F),
+                dx_f = V32^{-1}(r_F - W^T dx_p)   (all f32, MXU).
 
-    Per sweep the error contracts by ~cond(S) * eps_f32 — the same rate as
-    solve.cholesky_solve_refine, but without materializing S in f64.
+    PCG contracts like sqrt(cond(M^{-1} I)) ~ sqrt(1 + cond(I) eps_f32) per
+    iteration — it keeps converging where plain iterative refinement
+    (Richardson) diverges once cond * eps_f32 > 1 (measured: 1024-map stereo
+    root, cond ~ 1e10). The f32 factor is stabilized by symmetric diagonal
+    equilibration plus a tiny jitter so it stays PD even when S is
+    numerically indefinite in f32 (2048-map roots NaN'd without it); the
+    jitter only perturbs the preconditioner, never the answer.
 
     Args:
       U..eF: block-sparse information + info vectors in the accumulation
@@ -269,13 +280,21 @@ def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
     if fixc is not None:
         E32 = E32 - jnp.take(S32, fixc, axis=1) * jnp.asarray(sign, f32)
     S32, E32 = solve_mod.mask_gauge(S32, E32, fixed_mask)
-    L = jnp.linalg.cholesky(S32)
+    # Equilibrate + jitter: Ss = D S D with D = diag(S)^{-1/2}; unit diagonal
+    # keeps the f32 pivots O(1) and the 4*eps32 jitter keeps Cholesky PD.
+    d32 = jnp.diag(S32)
+    dsc = jnp.where(d32 > 0, jax.lax.rsqrt(jnp.maximum(d32, 1e-30)), 1.0)
+    Ss = S32 * dsc[:, None] * dsc[None, :]
+    Ss = Ss + (4 * jnp.finfo(f32).eps) * jnp.eye(Ss.shape[0], dtype=f32)
+    L = jnp.linalg.cholesky(Ss)
 
     def sch32(rhs32):
-        y = jax.scipy.linalg.solve_triangular(L, rhs32, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        y = jax.scipy.linalg.solve_triangular(L, rhs32 * dsc, lower=True)
+        return dsc * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
     freeP = (~fixed_mask).reshape(M, 6)
+    if fixc is not None:
+        freeP = freeP.reshape(-1).at[fixc].set(False).reshape(M, 6)
 
     def pin(xp):
         if fixc is None:
@@ -283,27 +302,58 @@ def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
         flat = xp.reshape(-1).at[fixc].set(jnp.asarray(sign, xp.dtype))
         return flat.reshape(M, 6)
 
-    xp = pin(sch32(E32).reshape(M, 6).astype(dt))
-    xf = backsub_features(W32, Wpf, Vinv32, eF.astype(f32),
-                          xp.astype(f32)).astype(dt)
+    xp0 = pin(sch32(E32).reshape(M, 6).astype(dt))
+    xf0 = backsub_features(W32, Wpf, Vinv32, eF.astype(f32),
+                           xp0.astype(f32)).astype(dt)
 
     Y32 = jnp.einsum("kiz,kzf->kif", W32, Vinv32[wf])
 
-    def body(_, carry):
-        xp, xf = carry
-        iP, iF = info_vector(xp, xf, U, Uij, W, Wpf, V)
-        rP = eP - iP
-        rF = (eF - iF).astype(f32)
+    def precond(rP, rF):
+        """M^{-1} r with the f32 Schur factor; zero at fixed coords."""
+        rF32 = rF.astype(f32)
         red = rP.astype(f32) - jax.ops.segment_sum(
-            jnp.einsum("kif,kf->ki", Y32, rF[wf]), wp, M)
+            jnp.einsum("kif,kf->ki", Y32, rF32[wf]), wp, M)
         red = jnp.where(freeP, red, 0.0)
-        dxp32 = sch32(red.reshape(-1)).reshape(M, 6)
+        dxp = sch32(red.reshape(-1)).reshape(M, 6)
+        dxp = jnp.where(freeP, dxp, 0.0)
         wtx = jax.ops.segment_sum(
-            jnp.einsum("kif,ki->kf", W32, dxp32[wp]), wf, N)
-        dxf = jnp.einsum("nij,nj->ni", Vinv32, rF - wtx)
-        return xp + dxp32.astype(dt), xf + dxf.astype(dt)
+            jnp.einsum("kif,ki->kf", W32, dxp[wp]), wf, N)
+        dxf = jnp.einsum("nij,nj->ni", Vinv32, rF32 - wtx)
+        return dxp.astype(dt), dxf.astype(dt)
 
-    xp, xf = jax.lax.fori_loop(0, iters, body, (xp, xf))
+    def matvec(xp, xf):
+        iP, iF = info_vector(xp, xf, U, Uij, W, Wpf, V)
+        return jnp.where(freeP, iP, 0.0), iF
+
+    def dot(aP, aF, bP, bF):
+        return jnp.vdot(aP, bP) + jnp.vdot(aF, bF)
+
+    # initial residual of the full system at (xp0, xf0), fixed coords pinned
+    iP, iF = info_vector(xp0, xf0, U, Uij, W, Wpf, V)
+    rP = jnp.where(freeP, eP - iP, 0.0)
+    rF = eF - iF
+    zP, zF = precond(rP, rF)
+    rz0 = dot(rP, rF, zP, zF)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+
+    def body(_, carry):
+        xp, xf, rP, rF, pP, pF, rz = carry
+        qP, qF = matvec(pP, pF)
+        pq = dot(pP, pF, qP, qF)
+        alpha = jnp.where(pq > 0, rz / jnp.maximum(pq, tiny), 0.0)
+        xp = xp + alpha * pP
+        xf = xf + alpha * pF
+        rP = rP - alpha * qP
+        rF = rF - alpha * qF
+        zP, zF = precond(rP, rF)
+        rz_new = dot(rP, rF, zP, zF)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, tiny), 0.0)
+        pP = zP + beta * pP
+        pF = zF + beta * pF
+        return xp, xf, rP, rF, pP, pF, rz_new
+
+    init = (xp0, xf0, rP, rF, zP, zF, rz0)
+    xp, xf = jax.lax.fori_loop(0, iters, body, init)[:2]
     return pin(xp), xf
 
 
@@ -312,5 +362,5 @@ def backsub_features(W, Wpf, Vinv, eF, x_poses):
     x_poses = x_poses.astype(W.dtype)
     N = Vinv.shape[0]
     wp, wf = Wpf[:, 0], Wpf[:, 1]
-    wtx = jax.ops.segment_sum(jnp.einsum("kif,ki->kf", W, x_poses[wp]), wf, N)
-    return jnp.einsum("nij,nj->ni", Vinv, eF - wtx)
+    wtx = jax.ops.segment_sum(bmv_t(W, x_poses[wp]), wf, N)
+    return bmv(Vinv, eF - wtx)
