@@ -19,6 +19,16 @@ Memory is O(M^2 + M N) blocks per map instead of O(nnz); at the bundled
 dataset scales this is far below HBM and buys back orders of magnitude in
 op-dispatch efficiency. For root joins beyond ~2-3k poses, use the
 block-list executor (device_tree) or the sharded Schur path.
+
+STATUS (round 3): demoted to an experiment. Measured on the axon TPU
+tunnel, every remote compile costs ~150 s regardless of program size
+(11-level 2048-map tree: 140-170 s per level program), and this executor's
+fused level programs are several-fold larger than device_tree's — its
+cold-compile wall never fits any realistic budget, and warm it has not
+beaten device_tree. The production path is core/device_tree.py (also the
+bench.py default); this file is kept for the layout/planning machinery and
+as the template for a future ahead-of-time-served deployment where compiles
+are amortized offline.
 """
 
 from __future__ import annotations

@@ -36,8 +36,13 @@ def run(path: str, num: int, datatype: str,
 
     executor: "host" = host-driven scheduler (core/tree.py, supports
     checkpoint/resume and per-level compaction stats); "device" =
-    device-resident block-list tree (core/device_tree.py); "dense" =
-    host-planned dense executor (core/dense_tree.py, fastest on TPU).
+    device-resident block-list tree (core/device_tree.py) — the production
+    default: fastest measured end-to-end on TPU and the only fast path with
+    checkpoint/resume; "dense" = host-planned dense executor
+    (core/dense_tree.py) — an experiment kept for study: its fused level
+    programs exceed any affordable compile budget over the remote-compile
+    tunnel (each ~150 s/program; fused programs are several-fold larger),
+    so it has never beaten the device executor cold (see ARCHITECTURE.md).
     trace_dir enables a jax.profiler trace of the solve (view in XProf).
     """
     maps = load_local_maps(path, num, datatype)

@@ -1,0 +1,97 @@
+"""Large-scale golden parity vs the compiled reference binary.
+
+VERDICT r02 items 8 (promote the 512-map parity narrative to a test) and 4
+(scale evidence): the fast suite's goldens stop at 17 maps; these runs assert
+oracle parity at 256 maps for BOTH observation models, on loop-closure
+datasets (covis_radius > 0 — the reference datasets all revisit landmarks,
+/root/reference/README.txt:63-65), executed by the production device-resident
+executor rather than the host tree.
+
+The 256-map cases are marked `slow` (deselected by default via pyproject
+addopts; run with `pytest -m slow`). A 48-map covis case stays in the fast
+suite so loop-closure join structure is exercised on every run.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+ORACLE = os.path.join(REPO, "tools", "oracle", "linearsfm_oracle")
+
+
+def _ensure_oracle():
+    if not os.path.exists(ORACLE):
+        r = subprocess.run([os.path.join(REPO, "tools", "oracle", "build.sh")],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("oracle build failed: " + r.stderr.decode()[-500:])
+    return ORACLE
+
+
+def _run_case(tmp_path, datatype, num, noise, seed, atol, covis_radius=6.0,
+              covis_max=6, oracle_timeout=600):
+    from synth import generate as gen
+    from linearsfm_tpu.core.device_tree import DeviceTreeSolver
+    from linearsfm_tpu.core import pipeline
+    from linearsfm_tpu.io import localmap as lio
+
+    maps, poses_gt, _ = gen.make_dataset(num, datatype, noise=noise, seed=seed,
+                                         covis_radius=covis_radius,
+                                         covis_max=covis_max)
+    gen.write_dataset(maps, str(tmp_path))
+
+    oracle = _ensure_oracle()
+    typ = "Stereo" if datatype == "stereo" else "Monocular"
+    r = subprocess.run(
+        [oracle, "-path", str(tmp_path), "-num", str(num), "-type", typ,
+         "-p", str(tmp_path / "pose_ref.txt"),
+         "-f", str(tmp_path / "feat_ref.txt")],
+        capture_output=True, timeout=oracle_timeout)
+    assert r.returncode == 0, r.stdout.decode()[-500:]
+
+    final, _ = pipeline.run(str(tmp_path), num, datatype,
+                            pose_path=str(tmp_path / "pose_tpu.txt"),
+                            feat_path=str(tmp_path / "feat_tpu.txt"),
+                            progress=False,
+                            solver=DeviceTreeSolver(datatype))
+
+    ids_r, poses_r = lio.read_poses(str(tmp_path / "pose_ref.txt"))
+    ids_t, poses_t = lio.read_poses(str(tmp_path / "pose_tpu.txt"))
+    np.testing.assert_array_equal(ids_r, ids_t)
+    err = np.abs(poses_r - poses_t).max()
+    assert err < atol, f"pose divergence vs oracle: {err}"
+
+    # ATE vs ground truth must also match the oracle's (both solve the same
+    # linear system; agreement on poses implies it, but assert explicitly so
+    # the failure message localizes accuracy vs matching problems).
+    def ate(poses, ids):
+        e = [np.linalg.norm(poses[s][:3] - poses_gt[int(i)][:3])
+             for s, i in enumerate(ids)]
+        return float(np.sqrt(np.mean(np.square(e))))
+    ate_r, ate_t = ate(poses_r, ids_r), ate(poses_t, ids_t)
+    assert abs(ate_r - ate_t) < max(1e-6, 1e-3 * ate_r), (ate_r, ate_t)
+    return err
+
+
+def test_oracle_stereo_covis(tmp_path):
+    _run_case(tmp_path, "stereo", 32, 0.005, 31, atol=1e-5)
+
+
+def test_oracle_mono_covis(tmp_path):
+    _run_case(tmp_path, "mono", 16, 0.005, 32, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_oracle_stereo_256(tmp_path):
+    _run_case(tmp_path, "stereo", 256, 0.005, 7, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_oracle_mono_256(tmp_path):
+    _run_case(tmp_path, "mono", 256, 0.005, 7, atol=1e-3)
