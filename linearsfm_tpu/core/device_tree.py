@@ -244,12 +244,29 @@ class DeviceTreeSolver:
         if not work:
             return 0
         t0 = time.time()
-        with ThreadPoolExecutor(min(len(work), 16)) as ex:
+        # The tunnel compile service drops connections under load (observed:
+        # "response body closed before all bytes were read" with 13 in
+        # flight) — bound concurrency, harvest each future independently so
+        # one failure never discards completed executables, and give failed
+        # programs ONE serial retry (persistent-cache partials make retries
+        # cheap); anything still failing falls back to per-level jit.
+        failed = []
+        with ThreadPoolExecutor(min(len(work), 6)) as ex:
             futs = [(k, low, ex.submit(low.compile)) for k, low in work]
             for k, low, f in futs:
-                self._aot[k] = (f.result(), low.out_info)
-        log.info("warm: compiled %d programs in %.1fs", len(work),
-                 time.time() - t0)
+                try:
+                    self._aot[k] = (f.result(), low.out_info)
+                except Exception as e:  # noqa: BLE001
+                    log.warning("AOT compile failed (%s); will retry", e)
+                    failed.append((k, low))
+        for k, low in failed:
+            try:
+                self._aot[k] = (low.compile(), low.out_info)
+            except Exception as e:  # noqa: BLE001
+                log.warning("AOT retry failed (%s); level falls back to jit",
+                            e)
+        log.info("warm: compiled %d/%d programs in %.1fs",
+                 len(self._aot), len(work), time.time() - t0)
         return len(work)
 
     # -- full tree -----------------------------------------------------------

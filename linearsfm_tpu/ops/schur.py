@@ -127,12 +127,30 @@ def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
     return entry[:N], valid[:N], overflowed
 
 
+def _use_pallas_dense() -> bool:
+    import os
+    if os.environ.get("LINEARSFM_PALLAS", "1") == "0":
+        return False
+    from . import pallas_kernels as pk
+    return pk.on_tpu()
+
+
 def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
     """Large-join Schur path: dense [6M,3N] W and MXU matmuls.
 
-    Scatters the block lists into clean 2-D layouts (no trailing-6 tile
-    padding) and computes ``S = A - (W Vinv) W^T`` with two big dot products —
-    the layout/throughput-optimal form once the reduced system is root-sized.
+    Materializes the block lists into clean 2-D layouts and computes
+    ``S = A - (W Vinv) W^T`` with two big dot products — the
+    layout/throughput-optimal form once the reduced system is root-sized.
+
+    On TPU the densification runs as the Pallas block-COO kernel
+    (pallas_kernels.blockcoo_to_dense): the jnp element-flattened scatter is
+    numerically identical but costs ~50s of XLA compile per million scattered
+    elements (~190s per root-join program), which made the cold tree
+    uncompilable within any bench budget. The symmetric completion of A is a
+    dense transpose (D + D^T - diag) rather than a second unsorted scatter so
+    every kernel call keeps row-sorted entries (join lists are concatenations
+    of per-map row-sorted lists, core/compact.py) and hits the kernel's
+    chunk-range fast path.
     """
     N = Vinv.shape[0]
     dtype = U.dtype
@@ -140,31 +158,43 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
     wp, wf = Wpf[:, 0], Wpf[:, 1]
     KU, KW = U.shape[0], W.shape[0]
 
-    r6 = jnp.arange(6)
-    r3 = jnp.arange(3)
-
-    # A: scatter U blocks (and transposes) into [6M, 6M]
-    A = jnp.zeros((6 * M, 6 * M), dtype)
-    rows = jnp.broadcast_to(ui[:, None, None] * 6 + r6[None, :, None], (KU, 6, 6))
-    cols = jnp.broadcast_to(uj[:, None, None] * 6 + r6[None, None, :], (KU, 6, 6))
-    A = A.at[rows.reshape(-1), cols.reshape(-1)].add(U.reshape(-1))
-    # symmetric completion: scatter entry (a,b) at the swapped position
-    # (col_b, row_a); the value stays U[a,b] (no element transpose needed)
-    Uo = jnp.where((ui != uj)[:, None, None], U, 0.0)
-    A = A.at[cols.reshape(-1), rows.reshape(-1)].add(Uo.reshape(-1))
-
-    # Wd, Yd: [6M, 3N] scatters of the W blocks / per-entry W Vinv products.
-    # (Y as blockwise products + scatter, NOT Wd @ blockdiag(Vinv): the dense
-    # [3N,3N] block-diagonal would waste ~N x the FLOPs and O(9N^2) HBM.
-    # Duplicate (p,f) entries commute with the per-feature Vinv product, so
-    # scatter-add before/after multiplying agrees.)
-    wrows = jnp.broadcast_to(wp[:, None, None] * 6 + r6[None, :, None], (KW, 6, 3))
-    wcols = jnp.broadcast_to(wf[:, None, None] * 3 + r3[None, None, :], (KW, 6, 3))
-    Wd = jnp.zeros((6 * M, 3 * N), dtype)
-    Wd = Wd.at[wrows.reshape(-1), wcols.reshape(-1)].add(W.reshape(-1))
     Yb = jnp.einsum("kif,kfl->kil", W, Vinv[wf])
-    Yd = jnp.zeros((6 * M, 3 * N), dtype)
-    Yd = Yd.at[wrows.reshape(-1), wcols.reshape(-1)].add(Yb.reshape(-1))
+
+    # Pallas path is f32-only (the dense assembly is the f32 preconditioner
+    # side of solve_full_mixed); an f64 caller keeps the exact jnp scatter.
+    if dtype == jnp.float32 and _use_pallas_dense():
+        from . import pallas_kernels as pk
+        D = pk.blockcoo_to_dense(ui, uj, U, M, M)
+        diagU = jnp.where((ui == uj)[:, None, None], U, 0.0)
+        Dd = pk.blockcoo_to_dense(ui, uj, diagU, M, M)
+        A = D + D.T - Dd
+        Wd = pk.blockcoo_to_dense(wp, wf, W, M, N)
+        Yd = pk.blockcoo_to_dense(wp, wf, Yb, M, N)
+    else:
+        r6 = jnp.arange(6)
+        r3 = jnp.arange(3)
+        # A: scatter U blocks (and transposes) into [6M, 6M]
+        A = jnp.zeros((6 * M, 6 * M), dtype)
+        rows = jnp.broadcast_to(ui[:, None, None] * 6 + r6[None, :, None], (KU, 6, 6))
+        cols = jnp.broadcast_to(uj[:, None, None] * 6 + r6[None, None, :], (KU, 6, 6))
+        A = A.at[rows.reshape(-1), cols.reshape(-1)].add(U.reshape(-1))
+        # symmetric completion: scatter entry (a,b) at the swapped position
+        # (col_b, row_a); the value stays U[a,b] (no element transpose needed)
+        Uo = jnp.where((ui != uj)[:, None, None], U, 0.0)
+        A = A.at[cols.reshape(-1), rows.reshape(-1)].add(Uo.reshape(-1))
+
+        # Wd, Yd: [6M, 3N] scatters of the W blocks / per-entry W Vinv
+        # products. (Y as blockwise products + scatter, NOT
+        # Wd @ blockdiag(Vinv): the dense [3N,3N] block-diagonal would waste
+        # ~N x the FLOPs and O(9N^2) HBM. Duplicate (p,f) entries commute
+        # with the per-feature Vinv product, so scatter-add before/after
+        # multiplying agrees.)
+        wrows = jnp.broadcast_to(wp[:, None, None] * 6 + r6[None, :, None], (KW, 6, 3))
+        wcols = jnp.broadcast_to(wf[:, None, None] * 3 + r3[None, None, :], (KW, 6, 3))
+        Wd = jnp.zeros((6 * M, 3 * N), dtype)
+        Wd = Wd.at[wrows.reshape(-1), wcols.reshape(-1)].add(W.reshape(-1))
+        Yd = jnp.zeros((6 * M, 3 * N), dtype)
+        Yd = Yd.at[wrows.reshape(-1), wcols.reshape(-1)].add(Yb.reshape(-1))
 
     S = A - Yd @ Wd.T
     E = eP.reshape(-1) - Yd @ eF.reshape(-1)

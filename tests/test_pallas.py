@@ -16,3 +16,37 @@ def test_inv3x3_pallas_matches_fallback():
     ref = schur.inv3x3_sym(V)
     got = pk.inv3x3_sym(V, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+def _dense_ref(rows, cols, vals, M, N):
+    K, R, C = vals.shape
+    out = np.zeros((R * M, C * N), vals.dtype)
+    for k in range(K):
+        if rows[k] >= 0:
+            out[rows[k]*R:(rows[k]+1)*R, cols[k]*C:(cols[k]+1)*C] += vals[k]
+    return out
+
+
+def test_blockcoo_to_dense_63():
+    rng = np.random.default_rng(41)
+    M, N, K = 37, 53, 700
+    rows = rng.integers(0, M, K).astype(np.int32)
+    rows[::13] = -1  # padding entries skipped
+    cols = rng.integers(0, N, K).astype(np.int32)
+    vals = rng.normal(size=(K, 6, 3)).astype(np.float32)
+    got = pk.blockcoo_to_dense(jnp.asarray(rows), jnp.asarray(cols),
+                               jnp.asarray(vals), M, N, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  _dense_ref(rows, cols, vals, M, N))
+
+
+def test_blockcoo_to_dense_66():
+    rng = np.random.default_rng(42)
+    M, K = 29, 500
+    rows = np.sort(rng.integers(0, M, K)).astype(np.int32)
+    cols = rng.integers(0, M, K).astype(np.int32)
+    vals = rng.normal(size=(K, 6, 6)).astype(np.float32)
+    got = pk.blockcoo_to_dense(jnp.asarray(rows), jnp.asarray(cols),
+                               jnp.asarray(vals), M, M, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  _dense_ref(rows, cols, vals, M, M))
