@@ -150,13 +150,20 @@ def _coo_dense_kernel(rmin_ref, rmax_ref, rows_ref, tb_ref, sh_ref, vals_ref,
 
 
 def blockcoo_to_dense(rows: jax.Array, cols: jax.Array, vals: jax.Array,
-                      M: int, N: int, *, rtile: int = 4, kc: int = 1024,
+                      M: int, N: int, *, rtile: int | None = None,
+                      kc: int = 1024,
                       interpret: bool = False) -> jax.Array:
     """Dense [R*M, C*N] (R,C = vals block shape) from block-COO scatter-add.
 
     rows/cols: i32[K] block coordinates (row r occupies rows [R*r, R*r+R)).
     Entries with rows < 0 are padding and are skipped; zero-valued entries
-    anywhere are harmless. Duplicate (row, col) pairs accumulate.
+    anywhere are harmless (callers should still route them to row -1 so the
+    chunk-range pruning stays effective). Duplicate (row, col) pairs
+    accumulate.
+
+    rtile (pose rows per output stripe) defaults to the largest value whose
+    [8*rtile, Wpad] VMEM stripe fits a ~6MB budget — fewer stripes means
+    fewer grid steps and fewer chunk-range checks.
     """
     K, R, C = vals.shape
     # Mosaic has no 64-bit types: pin every index input to i32 (with x64 on,
@@ -182,11 +189,17 @@ def blockcoo_to_dense(rows: jax.Array, cols: jax.Array, vals: jax.Array,
     tbase = (off // 128) * 128
     shift = off - tbase
 
-    S = (M + rtile - 1) // rtile
     # width: 128-aligned + one extra 128-lane tile so every 256-wide RMW
     # window starting at an aligned base stays in bounds
     W = C * N
     Wpad = ((W + 127) // 128) * 128 + 128
+    if rtile is None:
+        # out stripes double-buffer across the stripe grid dim and the vals
+        # chunks double-buffer too (~8.4MB at kc=1024): keep 2*stripe under
+        # ~6MB of the 16MB VMEM limit
+        budget = 3 * 1024 * 1024
+        rtile = max(4, min(M, budget // (8 * Wpad * vals.dtype.itemsize)))
+    S = (M + rtile - 1) // rtile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(S, nc),

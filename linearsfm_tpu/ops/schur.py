@@ -164,12 +164,19 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
     # side of solve_full_mixed); an f64 caller keeps the exact jnp scatter.
     if dtype == jnp.float32 and _use_pallas_dense():
         from . import pallas_kernels as pk
-        D = pk.blockcoo_to_dense(ui, uj, U, M, M)
+        # Zero-valued entries (list padding, dropped couplings) are routed to
+        # row -1: the kernel skips them on its cheap predicated path AND the
+        # per-chunk row ranges stay tight (a zero entry at slot (0,0) would
+        # otherwise stretch every chunk's range down to row 0, defeating the
+        # stripe pruning).
+        urow = jnp.where(jnp.any(U != 0, axis=(1, 2)), ui, -1)
+        wrow = jnp.where(jnp.any(W != 0, axis=(1, 2)), wp, -1)
+        D = pk.blockcoo_to_dense(urow, uj, U, M, M)
         diagU = jnp.where((ui == uj)[:, None, None], U, 0.0)
-        Dd = pk.blockcoo_to_dense(ui, uj, diagU, M, M)
+        Dd = pk.blockcoo_to_dense(urow, uj, diagU, M, M)
         A = D + D.T - Dd
-        Wd = pk.blockcoo_to_dense(wp, wf, W, M, N)
-        Yd = pk.blockcoo_to_dense(wp, wf, Yb, M, N)
+        Wd = pk.blockcoo_to_dense(wrow, wf, W, M, N)
+        Yd = pk.blockcoo_to_dense(wrow, wf, Yb, M, N)
     else:
         r6 = jnp.arange(6)
         r3 = jnp.arange(3)

@@ -23,8 +23,10 @@ def _by_id(ids, vals):
             for s, i in enumerate(np.asarray(ids)) if i >= 0}
 
 
-@pytest.mark.parametrize("typ,n", [("stereo", 16), ("mono", 16),
-                                   ("stereo", 13), ("mono", 11)])
+@pytest.mark.parametrize("typ,n", [
+    pytest.param("stereo", 16, marks=pytest.mark.slow),
+    pytest.param("mono", 16, marks=pytest.mark.slow),
+    ("stereo", 13), ("mono", 11)])
 def test_dense_tree_matches_host_tree(typ, n):
     """Odd map counts exercise the carry path at several levels."""
     maps, _, _ = gen.make_dataset(n, typ, noise=0.01, seed=5)
@@ -41,6 +43,7 @@ def test_dense_tree_matches_host_tree(typ, n):
         np.testing.assert_allclose(fa[k], fb[k], atol=1e-9)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("typ,policy_atol", [("stereo", 1e-2),
                                              ("mono", 2e-2)])
 def test_dense_tree_refine_close_to_direct(typ, policy_atol):

@@ -59,8 +59,10 @@ def test_compact_device_matches_host():
     assert 1 <= int(max_obs) <= 8
 
 
-@pytest.mark.parametrize("typ,n", [("stereo", 16), ("mono", 16),
-                                   ("stereo", 13), ("mono", 11)])
+@pytest.mark.parametrize("typ,n", [
+    pytest.param("stereo", 16, marks=pytest.mark.slow),
+    pytest.param("mono", 16, marks=pytest.mark.slow),
+    ("stereo", 13), ("mono", 11)])
 def test_device_tree_matches_host_tree(typ, n):
     """Odd map counts exercise the carry path at several levels."""
     maps, _, _ = gen.make_dataset(n, typ, noise=0.01, seed=5)

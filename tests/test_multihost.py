@@ -33,7 +33,8 @@ def _poses_by_id(final):
     return {int(i): poses[k] for k, i in enumerate(ids) if i >= 0}
 
 
-@pytest.mark.parametrize("datatype", ["stereo", "mono"])
+@pytest.mark.parametrize("datatype", [
+    "stereo", pytest.param("mono", marks=pytest.mark.slow)])
 def test_multihost_matches_single_process(datatype):
     # method="direct" (full f64): the decomposition is then exact to
     # padding-order rounding (~1e-13); the refine path's f32 low levels
