@@ -6,7 +6,8 @@ Same flags as the reference binary (lmj_parseArgs,
     python -m linearsfm_tpu.cli -path DATA -num N -type {Monocular,Stereo}
                                 [-st state.txt] [-p pose.txt] [-f feat.txt]
 
-plus TPU-native extensions: --method {direct,refine}, --cpu, --quiet.
+plus TPU-native extensions: --method, --exec, --cpu, --quiet, --ckpt,
+--resume, --trace, --check.
 """
 
 from __future__ import annotations
@@ -29,20 +30,23 @@ def _print_help():
     print("--ckpt DIR     Save per-level checkpoints to DIR")
     print("--resume       Resume from the latest checkpoint in --ckpt DIR")
     print("--trace DIR    Write a jax.profiler trace to DIR")
+    print("--check        Validate the solved map (finite values, block")
+    print("               ranges, gauge ids); non-zero exit on problems")
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     opts = {"path": None, "st": None, "p": None, "f": None, "num": None,
             "type": None, "method": "direct", "cpu": False, "quiet": False,
-            "ckpt": None, "resume": False, "trace": None, "exec": None}
+            "ckpt": None, "resume": False, "trace": None, "exec": None,
+            "check": False}
     i = 0
     while i < len(argv):
         name = argv[i].lstrip("-")
         if name == "help":
             _print_help()
             return 0
-        if name in ("cpu", "quiet", "resume"):
+        if name in ("cpu", "quiet", "resume", "check"):
             opts[name] = True
             i += 1
             continue
@@ -86,6 +90,14 @@ def main(argv=None):
         ckpt_dir=opts["ckpt"], resume=opts["resume"], trace_dir=opts["trace"],
         executor=executor)
     print(f"Total Used Time:  {wall:f}  sec")
+    if opts["check"]:
+        from .utils import debug
+        probs = debug.check_map(final)
+        for p in probs:
+            print(f"LinearSFM Check: {p}")
+        if probs:
+            return 2
+        print("LinearSFM Check: OK")
     return 0
 
 

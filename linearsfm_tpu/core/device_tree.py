@@ -154,7 +154,11 @@ class DeviceTreeSolver:
 
     # -- level program ---------------------------------------------------------
     def _level_key(self, lp: plan_mod.LevelPlan):
-        cfg = self._cfg(2 * lp.caps_in[0])
+        # Exact plans carry the true max joined pose count of the level; the
+        # bucketed 2*caps_in[0] upper bound is only the count-based fallback
+        # (it can straddle top_min_m and pick the wrong iteration band).
+        cfg = self._cfg(lp.join_m if lp.join_m is not None
+                        else 2 * lp.caps_in[0])
         return (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg), cfg
 
     def _level_program(self, lp: plan_mod.LevelPlan):
@@ -259,14 +263,16 @@ class DeviceTreeSolver:
                 except Exception as e:  # noqa: BLE001
                     log.warning("AOT compile failed (%s); will retry", e)
                     failed.append((k, low))
+        bad = 0
         for k, low in failed:
             try:
                 self._aot[k] = (low.compile(), low.out_info)
             except Exception as e:  # noqa: BLE001
+                bad += 1
                 log.warning("AOT retry failed (%s); level falls back to jit",
                             e)
         log.info("warm: compiled %d/%d programs in %.1fs",
-                 len(self._aot), len(work), time.time() - t0)
+                 len(work) - bad, len(work), time.time() - t0)
         return len(work)
 
     # -- full tree -----------------------------------------------------------

@@ -42,6 +42,11 @@ class LevelPlan:
     # host, LinearSFMImp.cpp:1997). None = unknown (count-based plan); the
     # executor must then decide dynamically.
     regauge: tuple | None = None
+    # Exact-plan only: the LARGEST joined pose count actually solved at this
+    # level (max over pairs of m1+m2, mono m1+m2-2). The device executor keys
+    # its precision/iteration bands on this; None (count-based plan) falls
+    # back to the bucketed upper bound 2*caps_in[0].
+    join_m: int | None = None
 
 
 def _transform_growth(c: Counts, datatype: str) -> Counts:
@@ -278,7 +283,9 @@ def plan_tree_exact(syms: list[SymNode], datatype: str, bucket: int = 16,
             out.append(n)
             flags.append(f)
         caps_out = _caps([s.counts() for s in out], bucket, u_bucket)
-        plans.append(LevelPlan(count, caps_in, caps_out, tuple(flags)))
+        join_m = max(len(out[i].P) for i in range(npair))
+        plans.append(LevelPlan(count, caps_in, caps_out, tuple(flags),
+                               join_m))
         syms = out
     root = syms[0]
     root_rg = final_regauge and bool(root.ref > root.fref)

@@ -55,8 +55,12 @@ def _inv3x3_kernel(a_ref, b_ref, c_ref, d_ref, e_ref, f_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def inv3x3_sym(V: jax.Array, interpret: bool = False) -> jax.Array:
-    """Pallas batched symmetric 3x3 inverse; same semantics as
-    schur.inv3x3_sym (zero blocks -> zero)."""
+    """EXPERIMENTAL Pallas batched symmetric 3x3 inverse (test-only).
+
+    Same semantics as schur.inv3x3_sym (zero blocks -> zero), which is what
+    production dispatches: XLA already fuses the closed form into adjacent
+    elementwise work, and this kernel has not measured faster in situ. Kept
+    as the SoA-layout Pallas reference for future V-side fusion work."""
     N = V.shape[0]
     lanes = 128
     sub = 8
@@ -166,6 +170,13 @@ def blockcoo_to_dense(rows: jax.Array, cols: jax.Array, vals: jax.Array,
     fewer grid steps and fewer chunk-range checks.
     """
     K, R, C = vals.shape
+    # Contract: <=8-row blocks (one sublane tile) and f32 values (Mosaic has
+    # no 64-bit vector types); an empty entry list is a plain zero matrix
+    # (the (S, 0) grid would otherwise skip the c==0 output zeroing).
+    assert R <= 8, f"block row count {R} exceeds the 8-sublane tile"
+    assert vals.dtype == jnp.float32, f"f32 only, got {vals.dtype}"
+    if K == 0:
+        return jnp.zeros((R * M, C * N), vals.dtype)
     # Mosaic has no 64-bit types: pin every index input to i32 (with x64 on,
     # stray promotions upstream would otherwise leak i64 into the kernel)
     rows = rows.astype(jnp.int32)

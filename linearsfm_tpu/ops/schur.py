@@ -174,7 +174,11 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
         D = pk.blockcoo_to_dense(urow, uj, U, M, M)
         diagU = jnp.where((ui == uj)[:, None, None], U, 0.0)
         Dd = pk.blockcoo_to_dense(urow, uj, diagU, M, M)
-        A = D + D.T - Dd
+        # Diagonal blocks: D + D.T - Dd would leave them as U_d^T, which only
+        # equals the jnp path's U_d when the block is bit-symmetric (post-f32
+        # congruence it can differ by ulps). Symmetrize instead so both paths
+        # agree to the ulp and S is exactly symmetric.
+        A = D + D.T - 0.5 * (Dd + Dd.T)
         Wd = pk.blockcoo_to_dense(wrow, wf, W, M, N)
         Yd = pk.blockcoo_to_dense(wrow, wf, Yb, M, N)
     else:

@@ -24,6 +24,7 @@ def _by_id(ids, vals):
 
 
 @pytest.mark.parametrize("typ,n", [
+    ("stereo", 8),  # power-of-two: no carry, the production bench shape class
     pytest.param("stereo", 16, marks=pytest.mark.slow),
     pytest.param("mono", 16, marks=pytest.mark.slow),
     ("stereo", 13), ("mono", 11)])
@@ -41,6 +42,18 @@ def test_dense_tree_matches_host_tree(typ, n):
     assert set(fa) == set(fb)
     for k in fa:
         np.testing.assert_allclose(fa[k], fb[k], atol=1e-9)
+
+
+def test_dense_tree_refine_close_to_direct_small():
+    """Fast refine-vs-direct coverage (the 24-map 3-run variant is slow)."""
+    maps, _, _ = gen.make_dataset(12, "stereo", noise=0.01, seed=9)
+    lms = [m.to_local_map() for m in maps]
+    a = DenseTreeSolver("stereo", method="direct").run(lms)
+    b = DenseTreeSolver("stereo", method="refine", mixed_max_m=0).run(lms)
+    pa, pb = _by_id(a.pose_ids, a.poses), _by_id(b.pose_ids, b.poses)
+    assert set(pa) == set(pb)
+    err = max(float(np.abs(pa[k] - pb[k]).max()) for k in pa)
+    assert err < 1e-6, err
 
 
 @pytest.mark.slow
