@@ -68,9 +68,28 @@ class DeviceTreeSolver:
                  pin: str = "sign", progress: bool = False,
                  mixed_max_m: int = 0, direct_min_m: int = 0,
                  top_min_m: int = 256, top_iters: int = 16,
-                 plan_offset: int = 0, final_regauge: bool = True):
+                 plan_offset: int = 0, final_regauge: bool = True,
+                 mesh=None, root_shard_min: int = 256,
+                 escalate_tol: float = 1e-8):
         assert datatype in ("stereo", "mono")
         self.datatype = datatype
+        # Multi-chip execution (None = single chip). A single-axis
+        # jax.sharding.Mesh; each tree level picks its own parallel axis:
+        #   "dp"  — count % 2*ndev == 0 and the re-gauge lane pattern is
+        #           device-uniform: the stacked level program runs under
+        #           shard_map over the PAIR axis (the level's joins are
+        #           independent, reference LinearSFMImp.cpp:1938-1993);
+        #   "tp"  — the root-style count==2 levels with join_m >=
+        #           root_shard_min: the single pair's solve shards the
+        #           FEATURE axis (parallel/shard_solve.sharded_full_mixed,
+        #           psum over ICI) while transform/compact replicate;
+        #   "rep" — in-between shapes (odd counts, few lanes) compile as the
+        #           plain program; GSPMD places them freely.
+        self.mesh = mesh
+        self._axis = mesh.axis_names[0] if mesh is not None else None
+        self._nd = int(mesh.devices.size) if mesh is not None else 0
+        self.root_shard_min = root_shard_min
+        self.escalate_tol = escalate_tol
         # Subtree execution (multi-host host-local phase): global map offset
         # for the position-parity re-gauge policy + whether the tree root is
         # the WHOLE problem's root (parallel/multihost.py).
@@ -113,16 +132,24 @@ class DeviceTreeSolver:
         if joined_m <= self.mixed_max_m:
             return join_mod.JoinConfig(
                 max_obs=1, method="direct", pin=self.pin, dense_schur=True,
-                info_dtype="float32")
+                info_dtype="float32", with_res=True)
         if self.direct_min_m and joined_m >= self.direct_min_m:
             return join_mod.JoinConfig(
                 max_obs=1, method="direct", pin=self.pin, dense_schur=True,
-                info_dtype="float64")
-        iters = (self.top_iters if joined_m >= self.top_min_m
-                 else self.refine_iters)
+                info_dtype="float64", with_res=True)
+        top = joined_m >= self.top_min_m
+        iters = self.top_iters if top else self.refine_iters
+        # Convergence control (top band only — the short-trajectory levels
+        # converge in `refine_iters` by construction): if the PCG residual
+        # still exceeds escalate_tol, run top_iters more sweeps (lax.cond;
+        # the healthy path pays nothing). Residuals surface per level via
+        # metrics (run()).
         return join_mod.JoinConfig(
             max_obs=1, method=self.method, refine_iters=iters,
-            pin=self.pin, dense_schur=True, info_dtype="float64")
+            pin=self.pin, dense_schur=True, info_dtype="float64",
+            with_res=True,
+            escalate_iters=self.top_iters if top else 0,
+            escalate_tol=self.escalate_tol)
 
     # -- building blocks -----------------------------------------------------
     def _merge_one(self, g: types.LocalMap, m: types.LocalMap,
@@ -153,30 +180,41 @@ class DeviceTreeSolver:
         return dcompact.compact_device(t, *caps_out)[0]
 
     # -- level program ---------------------------------------------------------
-    def _level_key(self, lp: plan_mod.LevelPlan):
+    def _level_key(self, lp: plan_mod.LevelPlan, in_dp: bool = False):
         # Exact plans carry the true max joined pose count of the level; the
         # bucketed 2*caps_in[0] upper bound is only the count-based fallback
         # (it can straddle top_min_m and pick the wrong iteration band).
+        # `in_dp`: the PREVIOUS level emitted pair-sharded output — AOT
+        # executables never reshard inputs, so the input sharding is part of
+        # the program identity under a mesh.
         cfg = self._cfg(lp.join_m if lp.join_m is not None
                         else 2 * lp.caps_in[0])
-        return (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg), cfg
+        return (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg,
+                in_dp if self.mesh is not None else False), cfg
 
-    def _level_program(self, lp: plan_mod.LevelPlan):
-        key, cfg = self._level_key(lp)
-        if key in self._progs:
-            return self._progs[key]
-        count = lp.count
+    def _plan_modes(self, tp: plan_mod.TreePlan) -> list[str]:
+        return [self._level_mode(lp, self._level_key(lp)[1])
+                for lp in tp.levels]
+
+    def _build_body(self, count: int, caps_out, flags, cfg):
+        """Level program body over `count` stacked lanes.
+
+        flags: re-gauge booleans for the (count+1)//2 output lanes. Also
+        serves as the per-device body under shard_map ("dp" levels), where
+        `count` is the device-local lane count and `flags` the (device-
+        uniform) local pattern.
+        """
         npair, nxt = count // 2, (count + 1) // 2
-        caps_out = lp.caps_out
         idt = cfg.info_dtype
-        idx_rg = tuple(i for i in range(nxt) if lp.regauge[i])
-        idx_nr = tuple(i for i in range(nxt) if not lp.regauge[i])
+        idx_rg = tuple(i for i in range(nxt) if flags[i])
+        idx_nr = tuple(i for i in range(nxt) if not flags[i])
         perm = np.argsort(np.array(idx_nr + idx_rg, np.int32))
 
-        def prog(x: types.LocalMap) -> types.LocalMap:  # noqa: ANN001
+        def prog(x: types.LocalMap):  # noqa: ANN001
             G = jax.tree.map(lambda a: a[0:2 * npair:2], x)
             Mb = jax.tree.map(lambda a: a[1:2 * npair:2], x)
-            merged = jax.vmap(lambda g, m: self._merge_one(g, m, cfg))(G, Mb)
+            merged, res = jax.vmap(
+                lambda g, m: self._merge_one(g, m, cfg))(G, Mb)
             if count % 2 == 1:
                 carry = jax.tree.map(lambda a: a[count - 1], x)
                 mg = jax.tree.map(lambda a: a[0], merged)
@@ -186,6 +224,7 @@ class DeviceTreeSolver:
                     else c, carry, mg)
                 merged = jax.tree.map(
                     lambda a, b: jnp.concatenate([a, b[None]]), merged, carry)
+                res = jnp.concatenate([res, jnp.zeros((1,), res.dtype)])
 
             parts = []
             if idx_nr:
@@ -199,9 +238,74 @@ class DeviceTreeSolver:
             out = (parts[0] if len(parts) == 1
                    else jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
                                      *parts))
-            return jax.tree.map(lambda a: a[perm], out)
+            # res stays in MERGED order (pair i at slot i, carry last) —
+            # diagnostics only, never re-enters the tree.
+            return jax.tree.map(lambda a: a[perm], out), res
 
-        self._progs[key] = jax.jit(prog)
+        return prog
+
+    def _level_mode(self, lp: plan_mod.LevelPlan, cfg) -> str:
+        """Parallel axis for this level: dp | tp | rep | single (see ctor)."""
+        if self.mesh is None or self._nd <= 1:
+            return "single"
+        nd = self._nd
+        nxt = (lp.count + 1) // 2
+        if lp.count % (2 * nd) == 0 and lp.regauge is not None:
+            loc = nxt // nd
+            chunks = [lp.regauge[d * loc:(d + 1) * loc] for d in range(nd)]
+            if all(c == chunks[0] for c in chunks):
+                return "dp"
+        if (lp.count == 2 and lp.regauge is not None
+                and (lp.join_m or 0) >= self.root_shard_min
+                and cfg.method == "refine"):
+            return "tp"
+        return "rep"
+
+    def _level_program(self, lp: plan_mod.LevelPlan, in_dp: bool = False):
+        key, cfg = self._level_key(lp, in_dp)
+        if key in self._progs:
+            return self._progs[key]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mode = self._level_mode(lp, cfg)
+        if self.mesh is None:
+            body = self._build_body(lp.count, lp.caps_out, lp.regauge, cfg)
+            self._progs[key] = jax.jit(body)
+            return self._progs[key]
+
+        pairs = NamedSharding(self.mesh, P(self._axis))
+        rep = NamedSharding(self.mesh, P())
+        in_sh = pairs if in_dp else rep
+        if mode == "dp":
+            nd = self._nd
+            loc = lp.count // nd
+            body = self._build_body(loc, lp.caps_out,
+                                    lp.regauge[:loc // 2], cfg)
+            sm = jax.shard_map(body, mesh=self.mesh,
+                               in_specs=P(self._axis),
+                               out_specs=(P(self._axis), P(self._axis)),
+                               check_vma=False)
+            self._progs[key] = jax.jit(sm, in_shardings=in_sh,
+                                       out_shardings=(pairs, pairs))
+        elif mode == "tp":
+            cfg_tp = cfg._replace(mesh=self.mesh, mesh_axis=self._axis)
+            caps_out = lp.caps_out
+            rg = lp.regauge[0]
+            idt = cfg.info_dtype
+
+            def prog(x: types.LocalMap):  # noqa: ANN001
+                g = jax.tree.map(lambda a: a[0], x)
+                m = jax.tree.map(lambda a: a[1], x)
+                merged, res = self._merge_one(g, m, cfg_tp)
+                out = (self._regauge_compact(merged, caps_out, idt) if rg
+                       else dcompact.compact_device(merged, *caps_out)[0])
+                return jax.tree.map(lambda a: a[None], out), res[None]
+
+            self._progs[key] = jax.jit(prog, in_shardings=in_sh,
+                                       out_shardings=(rep, rep))
+        else:
+            body = self._build_body(lp.count, lp.caps_out, lp.regauge, cfg)
+            self._progs[key] = jax.jit(body, in_shardings=in_sh,
+                                       out_shardings=(rep, rep))
         return self._progs[key]
 
     def _final_program(self, caps, need: bool):
@@ -218,7 +322,13 @@ class DeviceTreeSolver:
                 W=out.W.astype(out.poses.dtype),
                 V=out.V.astype(out.poses.dtype))
 
-        self._progs[key] = jax.jit(prog)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            self._progs[key] = jax.jit(prog, in_shardings=rep,
+                                       out_shardings=rep)
+        else:
+            self._progs[key] = jax.jit(prog)
         return self._progs[key]
 
     # -- ahead-of-time concurrent compilation --------------------------------
@@ -232,14 +342,16 @@ class DeviceTreeSolver:
         ~max(single program compile) wall instead of the sum. Persistent-cache
         hits load concurrently the same way. Returns #programs compiled."""
         work = []  # (key, lowered)
-        for lp in tp.levels:
-            key = self._level_key(lp)[0]
+        modes = self._plan_modes(tp)
+        for li, lp in enumerate(tp.levels):
+            in_dp = modes[li - 1] == "dp" if li else modes[0] == "dp"
+            key = self._level_key(lp, in_dp)[0]
             if key in self._aot:
-                x_shape = self._aot[key][1]
+                x_shape = self._aot[key][1][0]
                 continue
-            low = self._level_program(lp).lower(x_shape)
+            low = self._level_program(lp, in_dp).lower(x_shape)
             work.append((key, low))
-            x_shape = low.out_info
+            x_shape = low.out_info[0]  # (map, res) — only the map re-enters
         fkey = ("final", tp.root_caps, tp.root_regauge)
         if fkey not in self._aot:
             low = self._final_program(tp.root_caps, tp.root_regauge).lower(
@@ -329,19 +441,33 @@ class DeviceTreeSolver:
                 else:
                     log.warning("checkpoint shape %s mismatches plan %s; "
                                 "restarting", st.pose_ids.shape, want)
-        x = jax.device_put(stacked)
+        modes = self._plan_modes(tp)
+
+        def in_dp_at(li):
+            return modes[li - 1] == "dp" if li else modes[0] == "dp"
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P(self._axis) if in_dp_at(start_level) else P()
+            x = jax.device_put(stacked, NamedSharding(self.mesh, spec))
+        else:
+            x = jax.device_put(stacked)
         t3 = time.time()
+        res_per_level = {}
         for li, lp in enumerate(plans):
             if li < start_level:
                 continue
-            aot = self._aot.get(self._level_key(lp)[0])
-            x = aot[0](x) if aot else self._level_program(lp)(x)
+            in_dp = in_dp_at(li)
+            aot = self._aot.get(self._level_key(lp, in_dp)[0])
+            x, res = aot[0](x) if aot else self._level_program(lp, in_dp)(x)
+            res_per_level[li + 1] = res   # device-resident; fetched at the end
             if ckpt_dir:
                 checkpoint.save_stacked(ckpt_dir, li + 1, jax.device_get(x))
             self.join_count += lp.count // 2
             if metrics is not None:
                 metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,
                                M=lp.caps_out[0], N=lp.caps_out[1],
+                               join_m=lp.join_m,
                                wall=round(time.time() - t0, 4))
             if self.progress:
                 log.info("Level %d dispatched (%d maps)", li + 1,
@@ -360,6 +486,19 @@ class DeviceTreeSolver:
         host = dataclasses.replace(
             y, pose_ids=pose_ids, poses=poses, feat_ids=feat_ids, feats=feats,
             n_poses=n_poses, n_feats=n_feats, n_U=n_U, n_W=n_W, gauge=gauge)
+        # PCG convergence telemetry (SURVEY §5: per-level residual). The
+        # [count]-sized residual vectors are fetched once, AFTER the tree —
+        # per-level fetches would sync the async level dispatch.
+        resh = jax.device_get(res_per_level)
+        self.last_residuals = {lv: np.asarray(r) for lv, r in resh.items()}
+        if metrics is not None:
+            by_level = {r["level"]: r for r in metrics.records}
+            for lv, r in self.last_residuals.items():
+                if lv in by_level and r.size:
+                    with np.errstate(invalid="ignore", all="ignore"):
+                        v = float(np.nanmax(r))
+                    if np.isfinite(v):
+                        by_level[lv]["res_max"] = v
         self._last_timing = dict(compact=round(t1 - t0, 4),
                                  plan=round(t2 - t1, 4),
                                  warm=round(t2b - t2, 4),

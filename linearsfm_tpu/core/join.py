@@ -54,6 +54,14 @@ class JoinConfig(NamedTuple):
     # The solved state is always emitted in the state dtype; f32 info is the
     # low-tree-level fast path where cond(S) is small (core/device_tree.py).
     info_dtype: str | None = None
+    # Convergence telemetry/escalation (method="refine"): when with_res the
+    # join returns (map, res_rel) where res_rel is the solve's final relative
+    # residual (nan on paths that don't compute one); escalate_iters > 0 runs
+    # that many extra PCG sweeps iff res_rel > escalate_tol (lax.cond — the
+    # converged path never pays). See ops/schur.solve_full_mixed.
+    with_res: bool = False
+    escalate_iters: int = 0
+    escalate_tol: float = 1e-8
 
 
 def _match_features(end_ids, end_valid, cur_ids, cur_valid, n1, out_cap):
@@ -128,18 +136,30 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
     n_poses = end.n_poses + cur.n_poses
     pose_valid = jnp.concatenate([end.pose_mask(), cur.pose_mask()])
     fixed = ~jnp.repeat(pose_valid, 6)
+    res = jnp.nan
     if cfg.mesh is not None:
         from ..parallel import shard_solve
-        xp, xf = shard_solve.sharded_schur_solve(
-            U, Uij, W, Wpf, V, eP, eF, Mo, cfg.max_obs, cfg.mesh,
-            axis=cfg.mesh_axis, fixed_mask=fixed, method=cfg.method,
-            refine_iters=cfg.refine_iters)
+        if cfg.method == "refine":
+            # production accuracy: feature-sharded full-system PCG (plain
+            # sharded refinement diverges at 1024+-map roots)
+            xp, xf, res = shard_solve.sharded_full_mixed(
+                U, Uij, W, Wpf, V, eP, eF, Mo, fixed, mesh=cfg.mesh,
+                axis=cfg.mesh_axis, iters=cfg.refine_iters,
+                escalate_iters=cfg.escalate_iters,
+                escalate_tol=cfg.escalate_tol)
+        else:
+            xp, xf = shard_solve.sharded_schur_solve(
+                U, Uij, W, Wpf, V, eP, eF, Mo, cfg.max_obs, cfg.mesh,
+                axis=cfg.mesh_axis, fixed_mask=fixed, method=cfg.method,
+                refine_iters=cfg.refine_iters)
     elif cfg.method == "refine":
         # f32 MXU assembly + factorization, f64 block-list residual
         # refinement — no f64 matmul anywhere (ops/schur.py).
-        xp, xf = schur.solve_full_mixed(
+        xp, xf, res = schur.solve_full_mixed(
             U, Uij, W, Wpf, V, eP, eF, Mo, fixed, max_obs=cfg.max_obs,
-            force_dense=cfg.dense_schur, iters=cfg.refine_iters)
+            force_dense=cfg.dense_schur, iters=cfg.refine_iters,
+            escalate_iters=cfg.escalate_iters,
+            escalate_tol=cfg.escalate_tol)
     else:
         Vinv = schur.inv3x3_sym(V)
         S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,
@@ -151,13 +171,14 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
     xp = xp.astype(end.dtype)
     xf = xf.astype(end.dtype)
 
-    return types.LocalMap(
+    out = types.LocalMap(
         pose_ids=pose_ids, poses=xp, feat_ids=feat_ids, feats=xf,
         U=U, Uij=Uij, W=W, Wpf=Wpf, V=V,
         n_poses=n_poses, n_feats=end.n_feats + cur.n_feats - ncom,
         n_U=jnp.asarray(U.shape[0], jnp.int32), n_W=jnp.asarray(W.shape[0], jnp.int32),
         gauge=dataclasses.replace(end.gauge, ref=cur.gauge.ref),
     )
+    return (out, jnp.asarray(res, xp.dtype)) if cfg.with_res else out
 
 
 def join_mono(end: types.LocalMap, cur: types.LocalMap,
@@ -253,20 +274,30 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     fixc = 6 * pos2 + fix
     fixed |= coord == fixc                                  # pinned scale coord
     sign = jnp.asarray(end.gauge.sign).astype(idt)
+    res = jnp.nan
     if cfg.mesh is not None:
-        # NB with gauge-conditioned inputs the pinned coordinate carries zero
-        # information, so no RHS correction is needed on the sharded path.
         from ..parallel import shard_solve
-        xp, xf = shard_solve.sharded_schur_solve(
-            U, Uij, W, Wpf, V, eP, eF, Mo, cfg.max_obs, cfg.mesh,
-            axis=cfg.mesh_axis, fixed_mask=fixed, method=cfg.method,
-            refine_iters=cfg.refine_iters)
-        xp = xp.at[pos2, :].set(jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
+        if cfg.method == "refine" and cfg.pin == "sign":
+            xp, xf, res = shard_solve.sharded_full_mixed(
+                U, Uij, W, Wpf, V, eP, eF, Mo, fixed, mesh=cfg.mesh,
+                axis=cfg.mesh_axis, iters=cfg.refine_iters,
+                fixc=fixc, sign=sign, escalate_iters=cfg.escalate_iters,
+                escalate_tol=cfg.escalate_tol)
+        else:
+            # NB with gauge-conditioned inputs the pinned coordinate carries
+            # zero information, so no RHS correction is needed here.
+            xp, xf = shard_solve.sharded_schur_solve(
+                U, Uij, W, Wpf, V, eP, eF, Mo, cfg.max_obs, cfg.mesh,
+                axis=cfg.mesh_axis, fixed_mask=fixed, method=cfg.method,
+                refine_iters=cfg.refine_iters)
+            xp = xp.at[pos2, :].set(
+                jnp.where(jnp.arange(6) == fix, sign, xp[pos2, :]))
     elif cfg.method == "refine" and cfg.pin == "sign":
-        xp, xf = schur.solve_full_mixed(
+        xp, xf, res = schur.solve_full_mixed(
             U, Uij, W, Wpf, V, eP, eF, Mo, fixed, max_obs=cfg.max_obs,
             force_dense=cfg.dense_schur, iters=cfg.refine_iters,
-            fixc=fixc, sign=sign)
+            fixc=fixc, sign=sign, escalate_iters=cfg.escalate_iters,
+            escalate_tol=cfg.escalate_tol)
     else:
         Vinv = schur.inv3x3_sym(V)
         S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,
@@ -289,7 +320,7 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
     xp = xp.astype(dtype)
     xf = xf.astype(dtype)
 
-    return types.LocalMap(
+    out = types.LocalMap(
         pose_ids=pose_ids, poses=xp, feat_ids=feat_ids, feats=xf,
         U=U, Uij=Uij, W=W, Wpf=Wpf, V=V,
         n_poses=end.n_poses + cur.n_poses - 2,
@@ -301,3 +332,4 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
             cur.gauge, fref=end.gauge.fref, fscap=end.gauge.fscap,
             ffix=end.gauge.ffix),
     )
+    return (out, jnp.asarray(res, xp.dtype)) if cfg.with_res else out

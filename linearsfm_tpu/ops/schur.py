@@ -135,6 +135,31 @@ def _use_pallas_dense() -> bool:
     return pk.on_tpu()
 
 
+def densify_blocks(rows, cols, vals, M: int, N: int):
+    """Dense [R*M, C*N] from a block-COO list (scatter-add semantics).
+
+    rows < 0 = padding (skipped). Dispatches the Pallas block-COO kernel on
+    TPU for f32 (compile-cost-safe, ops/pallas_kernels.py); everywhere else
+    the exact jnp element-flattened scatter.
+    """
+    K, R, C = vals.shape
+    if vals.dtype == jnp.float32 and _use_pallas_dense():
+        from . import pallas_kernels as pk
+        return pk.blockcoo_to_dense(rows, cols, vals, M, N)
+    rR = jnp.arange(R)
+    rC = jnp.arange(C)
+    rr = jnp.broadcast_to(rows[:, None, None] * R + rR[None, :, None],
+                          (K, R, C))
+    cc = jnp.broadcast_to(cols[:, None, None] * C + rC[None, None, :],
+                          (K, R, C))
+    # negative rows land out of range after the mul only for row 0 entries;
+    # route them explicitly out of bounds so mode="drop" skips them
+    rr = jnp.where((rows >= 0)[:, None, None], rr, -1)
+    out = jnp.zeros((R * M, C * N), vals.dtype)
+    return out.at[rr.reshape(-1), cc.reshape(-1)].add(
+        vals.reshape(-1), mode="drop")
+
+
 def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
     """Large-join Schur path: dense [6M,3N] W and MXU matmuls.
 
@@ -273,7 +298,8 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
 
 def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
                      max_obs: int = 1, force_dense: bool = False,
-                     iters: int = 3, fixc=None, sign=None):
+                     iters: int = 3, fixc=None, sign=None,
+                     escalate_iters: int = 0, escalate_tol: float = 1e-8):
     """Mixed-precision fusion solve: f32 Schur factor + full-system f64 PCG.
 
     The reference factorizes the reduced camera system in f64 CHOLMOD
@@ -303,8 +329,16 @@ def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
       fixed_mask: bool[6M], True = gauge-fixed coordinate (solution pinned).
       fixc, sign: mono scale pin — scalar index into [6M] and the +-1 value
         the pinned coordinate takes (join_mono pin="sign" semantics).
+      escalate_iters/escalate_tol: convergence control — the reference gets
+        an exact factorization for free (pba_solveCholmodLM,
+        LinearSFMImp.cpp:2444); here, if after `iters` sweeps the relative
+        f64 residual still exceeds `escalate_tol`, run `escalate_iters` more
+        (a lax.cond, so the healthy path never pays). The residual is free:
+        PCG maintains r = e - I x as loop state.
 
-    Returns (x_p[M,6], x_f[N,3]) in the input dtype.
+    Returns (x_p[M,6], x_f[N,3], res_rel) in the input dtype; res_rel is the
+    final full-system relative residual ||e - I x|| / ||e|| (f64 scalar) —
+    surfaced so executors can record per-level convergence (SURVEY §5).
     """
     from . import solve as solve_mod
 
@@ -394,8 +428,21 @@ def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
         return xp, xf, rP, rF, pP, pF, rz_new
 
     init = (xp0, xf0, rP, rF, zP, zF, rz0)
-    xp, xf = jax.lax.fori_loop(0, iters, body, init)[:2]
-    return pin(xp), xf
+    carry = jax.lax.fori_loop(0, iters, body, init)
+    enorm = jnp.sqrt(dot(jnp.where(freeP, eP, 0.0), eF,
+                         jnp.where(freeP, eP, 0.0), eF))
+    enorm = jnp.maximum(enorm, tiny)
+
+    def _res(c):
+        return jnp.sqrt(dot(c[2], c[3], c[2], c[3])) / enorm
+
+    if escalate_iters:
+        carry = jax.lax.cond(
+            _res(carry) > escalate_tol,
+            lambda c: jax.lax.fori_loop(0, escalate_iters, body, c),
+            lambda c: c, carry)
+    xp, xf = carry[:2]
+    return pin(xp), xf, _res(carry)
 
 
 def backsub_features(W, Wpf, Vinv, eF, x_poses):

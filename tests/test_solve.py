@@ -56,11 +56,11 @@ def test_solve_full_mixed_matches_dense_f64():
     e = I @ x_true
     eP, eF = e[:6*M].reshape(M, 6), e[6*M:].reshape(N, 3)
     fixed = jnp.zeros(6 * M, bool)
-    xp0, xf0 = schur.solve_full_mixed(
+    xp0, xf0, _ = schur.solve_full_mixed(
         jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
         jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
         jnp.asarray(eF), M, fixed, max_obs=8, iters=0)
-    xp, xf = schur.solve_full_mixed(
+    xp, xf, res = schur.solve_full_mixed(
         jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
         jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
         jnp.asarray(eF), M, fixed, max_obs=8, iters=4)
@@ -72,7 +72,7 @@ def test_solve_full_mixed_matches_dense_f64():
     assert er < e0 * 1e-2  # refinement actually contracts
 
     # dense-W assembly path (the device-resident tree's configuration)
-    xpd, xfd = schur.solve_full_mixed(
+    xpd, xfd, _ = schur.solve_full_mixed(
         jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
         jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
         jnp.asarray(eF), M, fixed, force_dense=True, iters=4)
@@ -106,7 +106,7 @@ def test_solve_full_mixed_pinned_coordinate():
     eP, eF = e[:6*M].reshape(M, 6), e[6*M:].reshape(N, 3)
     fixed = np.zeros(6 * M, bool)
     fixed[fixc] = True
-    xp, xf = schur.solve_full_mixed(
+    xp, xf, res = schur.solve_full_mixed(
         jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
         jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
         jnp.asarray(eF), M, jnp.asarray(fixed), max_obs=8, iters=4,
@@ -169,3 +169,51 @@ def test_grid_pattern_dataset():
     for s, pid in enumerate(ids):
         if pid >= 0:
             np.testing.assert_allclose(poses[s], poses_gt[int(pid)], atol=1e-6)
+
+
+def test_solve_full_mixed_residual_and_escalation():
+    """res_rel telemetry is real, and escalation == running the extra sweeps
+    (same PCG recurrence, so the escalated result is bit-identical)."""
+    import jax.numpy as jnp
+    from linearsfm_tpu.ops import schur
+    import helpers as H
+    rng = np.random.default_rng(54)
+    M, N = 10, 24
+    U, Uij, W, Wpf, V = H.random_info_blocks(rng, M, N, obs_per_feat=4)
+    d = 6 * M + 3 * N
+    x_true = rng.standard_normal(d)
+    I = np.zeros((d, d))
+    for k, (i, j) in enumerate(Uij):
+        I[6*i:6*i+6, 6*j:6*j+6] += U[k]
+        if i != j:
+            I[6*j:6*j+6, 6*i:6*i+6] += U[k].T
+    for k, (p, f) in enumerate(Wpf):
+        I[6*p:6*p+6, 6*M+3*f:6*M+3*f+3] += W[k]
+        I[6*M+3*f:6*M+3*f+3, 6*p:6*p+6] += W[k].T
+    for f in range(N):
+        I[6*M+3*f:6*M+3*f+3, 6*M+3*f:6*M+3*f+3] += V[f]
+    e = I @ x_true
+    eP, eF = e[:6*M].reshape(M, 6), e[6*M:].reshape(N, 3)
+    fixed = jnp.zeros(6 * M, bool)
+    args = (jnp.asarray(U), jnp.asarray(Uij, jnp.int32), jnp.asarray(W),
+            jnp.asarray(Wpf, jnp.int32), jnp.asarray(V), jnp.asarray(eP),
+            jnp.asarray(eF), M, fixed)
+    _, _, r0 = schur.solve_full_mixed(*args, max_obs=8, iters=0)
+    xp4, xf4, r4 = schur.solve_full_mixed(*args, max_obs=8, iters=4)
+    assert float(r4) < float(r0) * 1e-3      # PCG contracts the residual
+    assert float(r4) < 1e-10                 # and reports convergence
+
+    # escalation fires (tol=0 < any residual) and equals the straight run
+    xpe, xfe, re_ = schur.solve_full_mixed(*args, max_obs=8, iters=1,
+                                           escalate_iters=3,
+                                           escalate_tol=0.0)
+    np.testing.assert_array_equal(np.asarray(xpe), np.asarray(xp4))
+    np.testing.assert_array_equal(np.asarray(xfe), np.asarray(xf4))
+    np.testing.assert_array_equal(np.asarray(re_), np.asarray(r4))
+
+    # a satisfied tolerance skips the extra sweeps
+    xp1, _, r1 = schur.solve_full_mixed(*args, max_obs=8, iters=1)
+    xps, _, rs = schur.solve_full_mixed(*args, max_obs=8, iters=1,
+                                        escalate_iters=3, escalate_tol=1e30)
+    np.testing.assert_array_equal(np.asarray(xps), np.asarray(xp1))
+    np.testing.assert_array_equal(np.asarray(rs), np.asarray(r1))

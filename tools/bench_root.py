@@ -49,7 +49,7 @@ def main():
     cm = [lm.pad_to(*plans[0].caps_in) for lm in cm]
     x = jax.device_put(plevel.stack_maps(cm))
     for lp in plans[:-1]:
-        x = s._level_program(lp)(x)
+        x, _ = s._level_program(lp)(x)
     lp = plans[-1]
     G = jax.tree.map(lambda a: a[0], x)
     Mb = jax.tree.map(lambda a: a[1], x)

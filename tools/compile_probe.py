@@ -82,7 +82,7 @@ def main():
         for li, lp in enumerate(tp.levels):
             t0 = time.time()
             low = solver._level_program(lp).lower(x_shape)
-            x_shape = low.out_info
+            x_shape = low.out_info[0]
             lows.append((li, lp, low))
             log(f"lower L{li} (count={lp.count}): {time.time()-t0:.1f}s")
         t0 = time.time()

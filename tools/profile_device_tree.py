@@ -49,7 +49,7 @@ def main():
     jax.block_until_ready(x.poses)
     for li, lp in enumerate(plans):
         t1 = time.time()
-        x = solver._level_program(lp)(x)
+        x, _ = solver._level_program(lp)(x)
         jax.block_until_ready(x.poses)
         print(f"L{li+1:2d} count={lp.count:4d} in={lp.caps_in} "
               f"out={lp.caps_out} wall={time.time()-t1:7.3f}s", flush=True)

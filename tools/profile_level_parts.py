@@ -52,7 +52,7 @@ def main():
         V=grow(stacked.V, Ni))
     x = jax.device_put(stacked)
     for lp in plans[: LEVEL - 1]:
-        x = solver._level_program(lp)(x)
+        x, _ = solver._level_program(lp)(x)
     jax.block_until_ready(x.poses)
     lp = plans[LEVEL - 1]
     print(f"L{LEVEL}: count={lp.count} in={lp.caps_in} out={lp.caps_out}",
@@ -85,11 +85,12 @@ def main():
     @jax.jit
     def prog_TJ(z):
         G, Mb = split(z)
-        return jax.vmap(lambda g, m: solver._merge_one(g, m, cfg))(G, Mb)
+        return jax.vmap(lambda g, m: solver._merge_one(g, m, cfg))(G, Mb)[0]
 
     progs = [("T   (transform)", prog_T, "poses"),
              ("TJ  (transform+join/solve)", prog_TJ, "poses"),
-             ("full (level program)", solver._level_program(lp), "poses")]
+             ("full (level program)",
+              lambda z: solver._level_program(lp)(z)[0], "poses")]
     # NB block_until_ready does not synchronize through the axon tunnel;
     # a device_get of one (small) output is the only reliable fence.
     for name, p, fld in progs:
