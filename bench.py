@@ -28,6 +28,11 @@ NUM_MAPS = int(os.environ.get("BENCH_MAPS", "2048"))
 METHOD = os.environ.get("BENCH_METHOD", "refine")
 DATATYPE = os.environ.get("BENCH_TYPE", "stereo")
 EXECUTOR = os.environ.get("BENCH_EXEC", "device")
+# Loop-closure co-visibility (default ON from r4): every bundled reference
+# dataset revisits landmarks (/root/reference/README.txt:63-65); covis=0
+# benches only the easy near-block-diagonal case. Matches the covis CPU
+# oracle rows in baseline_measured.json (tools/measure_baseline.py).
+COVIS = os.environ.get("BENCH_COVIS", "1") != "0"
 
 
 def log(msg):
@@ -51,9 +56,11 @@ def main():
     from synth import generate as gen
     import jax
 
-    log(f"dataset: {NUM_MAPS} {DATATYPE} maps (noise=0.005, seed=7)")
+    cov = dict(covis_radius=6.0, covis_max=6) if COVIS else {}
+    log(f"dataset: {NUM_MAPS} {DATATYPE} maps (noise=0.005, seed=7, "
+        f"covis={'on' if COVIS else 'off'})")
     maps, poses_gt, _ = gen.make_dataset(NUM_MAPS, DATATYPE, noise=0.005,
-                                         seed=7)
+                                         seed=7, **cov)
     lms = [m.to_local_map() for m in maps]
     solver = build_solver()
 
@@ -80,17 +87,18 @@ def main():
     value = joins / wall
 
     base = 0.0
+    tag = "_covis" if COVIS else ""
     bm = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "baseline_measured.json")
     if os.path.exists(bm):
         with open(bm) as fh:
-            b = json.load(fh).get(f"{DATATYPE}_maps_per_s_{NUM_MAPS}")
+            b = json.load(fh).get(f"{DATATYPE}{tag}_maps_per_s_{NUM_MAPS}")
         if b:
             base = value / b
 
     print(json.dumps({
-        "metric": f"synthetic {DATATYPE} {NUM_MAPS}-map hierarchical solve"
-                  f" (ATE {ate:.2e})",
+        "metric": f"synthetic {DATATYPE}{' covis' if COVIS else ''} "
+                  f"{NUM_MAPS}-map hierarchical solve (ATE {ate:.2e})",
         "value": round(value, 3),
         "unit": "maps_joined/s",
         "vs_baseline": round(base, 3),

@@ -87,6 +87,11 @@ _SCHUR_CHUNK_BLOCKS = 1 << 16
 # _assemble_schur_dense).
 _DENSE_SCHUR_DIM = 1024
 
+# Per-matrix byte budget for the dense [6M, 3N] W/Y layouts; above this the
+# dense assembly runs feature-chunked (see _assemble_schur_dense). 1.6 GB
+# keeps the 2048-map bench root single-chunk and the 3499/4096 roots in HBM.
+_DENSE_W_BYTES = 3 << 29
+
 
 def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
     """Static-shape grouping of W entries by feature.
@@ -152,9 +157,10 @@ def densify_blocks(rows, cols, vals, M: int, N: int):
                           (K, R, C))
     cc = jnp.broadcast_to(cols[:, None, None] * C + rC[None, None, :],
                           (K, R, C))
-    # negative rows land out of range after the mul only for row 0 entries;
-    # route them explicitly out of bounds so mode="drop" skips them
-    rr = jnp.where((rows >= 0)[:, None, None], rr, -1)
+    # jax .at[] WRAPS negative indices (NumPy semantics) — a -1 row would
+    # land on the last row, not be dropped. Route padding to R*M (positive
+    # out-of-range) so mode="drop" really skips it.
+    rr = jnp.where((rows >= 0)[:, None, None], rr, R * M)
     out = jnp.zeros((R * M, C * N), vals.dtype)
     return out.at[rr.reshape(-1), cc.reshape(-1)].add(
         vals.reshape(-1), mode="drop")
@@ -184,6 +190,38 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
     KU, KW = U.shape[0], W.shape[0]
 
     Yb = jnp.einsum("kif,kfl->kil", W, Vinv[wf])
+
+    # NC3500/4096-root scale: two dense [6M, 3N] f32 matrices exceed HBM
+    # (4.9 GB each at M=4100, N=49k). Chunk the FEATURE axis: densify and
+    # multiply [6M, 3*Nc] stripes, accumulating S and the RHS term — peak
+    # memory bounded by the stripe, MXU throughput unchanged (the product is
+    # the same flops in Nc-wide slabs).
+    if dtype == jnp.float32 and 6 * M * 3 * N * 4 > _DENSE_W_BYTES:
+        nch = -(-(6 * M * 3 * N * 4) // _DENSE_W_BYTES)
+        Nc = -(-N // nch)
+        nch = -(-N // Nc)
+        urow = jnp.where(jnp.any(U != 0, axis=(1, 2)), ui, -1)
+        D = densify_blocks(urow, uj, U, M, M)
+        diagU = jnp.where((ui == uj)[:, None, None], U, 0.0)
+        Dd = densify_blocks(urow, uj, diagU, M, M)
+        A = D + D.T - 0.5 * (Dd + Dd.T)
+        eFp = jnp.pad(eF, ((0, Nc * nch - N), (0, 0)))
+        wvalid = jnp.any(W != 0, axis=(1, 2))
+
+        def body(c, carry):
+            S, e = carry
+            lo = c * Nc
+            own = wvalid & (wf >= lo) & (wf < lo + Nc)
+            wrow = jnp.where(own, wp, -1)
+            wcol = jnp.clip(wf - lo, 0, Nc - 1)
+            Wd = densify_blocks(wrow, wcol, W, M, Nc)
+            Yd = densify_blocks(wrow, wcol, Yb, M, Nc)
+            eFc = jax.lax.dynamic_slice_in_dim(eFp, lo, Nc)
+            return (S - Yd @ Wd.T, e - Yd @ eFc.reshape(-1))
+
+        S, E = jax.lax.fori_loop(
+            0, nch, body, (A, eP.reshape(-1).astype(dtype)))
+        return S, E
 
     # Pallas path is f32-only (the dense assembly is the f32 preconditioner
     # side of solve_full_mixed); an f64 caller keeps the exact jnp scatter.

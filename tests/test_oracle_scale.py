@@ -95,3 +95,18 @@ def test_oracle_stereo_256(tmp_path):
 @pytest.mark.slow
 def test_oracle_mono_256(tmp_path):
     _run_case(tmp_path, "mono", 256, 0.005, 7, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_oracle_stereo_1024(tmp_path):
+    """Pins the 1024-map parity claim cited in BASELINE.md (covis data)."""
+    _run_case(tmp_path, "stereo", 1024, 0.005, 7, atol=1e-4,
+              oracle_timeout=1800)
+
+
+@pytest.mark.slow
+def test_oracle_mono_512(tmp_path):
+    """Mono parity at >=512 maps (VERDICT r03 item 4): the 7-DOF gauge path
+    through the PCG top levels on loop-closure data."""
+    _run_case(tmp_path, "mono", 512, 0.005, 7, atol=1e-3,
+              oracle_timeout=1800)

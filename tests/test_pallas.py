@@ -50,3 +50,35 @@ def test_blockcoo_to_dense_66():
                                jnp.asarray(vals), M, M, interpret=True)
     np.testing.assert_array_equal(np.asarray(got),
                                   _dense_ref(rows, cols, vals, M, M))
+
+
+def test_dense_assembly_feature_chunked(monkeypatch):
+    """The chunked [6M,3Nc] stripe path (NC3500/4096-root HBM budget) equals
+    the single-shot dense assembly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from linearsfm_tpu.ops import schur
+
+    rng = np.random.default_rng(77)
+    M, N, KU, KW = 7, 23, 12, 40
+    U = rng.standard_normal((KU, 6, 6)).astype(np.float32)
+    Uij = np.sort(rng.integers(0, M, (KU, 2)), axis=1).astype(np.int32)
+    # diagonal information blocks are symmetric in real data; the two dense
+    # paths differ only in which convention they keep for asymmetric ones
+    dg = Uij[:, 0] == Uij[:, 1]
+    U[dg] = 0.5 * (U[dg] + np.swapaxes(U[dg], 1, 2))
+    W = rng.standard_normal((KW, 6, 3)).astype(np.float32)
+    Wpf = np.stack([rng.integers(0, M, KW),
+                    rng.integers(0, N, KW)], axis=1).astype(np.int32)
+    Vinv = rng.standard_normal((N, 3, 3)).astype(np.float32)
+    eP = rng.standard_normal((M, 6)).astype(np.float32)
+    eF = rng.standard_normal((N, 3)).astype(np.float32)
+
+    args = (jnp.asarray(U), jnp.asarray(Uij), jnp.asarray(W),
+            jnp.asarray(Wpf), jnp.asarray(Vinv), jnp.asarray(eP),
+            jnp.asarray(eF), M)
+    S0, E0 = schur._assemble_schur_dense(*args)
+    monkeypatch.setattr(schur, "_DENSE_W_BYTES", 6 * M * 3 * 8 * 4)  # ~3 chunks
+    S1, E1 = schur._assemble_schur_dense(*args)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(E1), np.asarray(E0), atol=1e-4)

@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pattern", default="loop")
+    ap.add_argument("--covis", action="store_true",
+                    help="loop-closure co-visibility (radius 6, max 6 — the "
+                         "bench/baseline dataset family)")
+    ap.add_argument("--json", default=None,
+                    help="write the comparison record to this path")
     args = ap.parse_args()
 
     import jax
@@ -35,8 +40,10 @@ def main():
     from linearsfm_tpu.io import localmap as lio
 
     d = tempfile.mkdtemp(prefix="ate_")
+    cov = dict(covis_radius=6.0, covis_max=6) if args.covis else {}
     maps, poses_gt, _ = gen.make_dataset(args.num, args.type, noise=args.noise,
-                                         seed=args.seed, pattern=args.pattern)
+                                         seed=args.seed, pattern=args.pattern,
+                                         **cov)
     gen.write_dataset(maps, d)
 
     oracle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -60,10 +67,23 @@ def main():
         errs = [np.linalg.norm(p[i, :3] - poses_gt[int(ids[i]), :3])
                 for i in range(len(ids))]
         return float(np.sqrt(np.mean(np.square(errs))))
-    print(f"maps={args.num} type={args.type} noise={args.noise}")
+    print(f"maps={args.num} type={args.type} noise={args.noise} "
+          f"covis={args.covis}")
     print(f"oracle wall: {t_oracle:.2f}s   tpu wall: {t_tpu:.2f}s")
     print(f"pose diff vs oracle: max {d_ref.max():.3e}  rms {np.sqrt((d_ref**2).mean()):.3e}")
     print(f"ATE vs gt: oracle {ate(pr, ids_r):.4f}  tpu {ate(pt, ids_t):.4f}")
+    if args.json:
+        import json
+        rec = dict(num=args.num, type=args.type, noise=args.noise,
+                   seed=args.seed, covis=bool(args.covis),
+                   oracle_wall_s=round(t_oracle, 3),
+                   tpu_wall_s=round(t_tpu, 3),
+                   pose_diff_max=float(d_ref.max()),
+                   pose_diff_rms=float(np.sqrt((d_ref ** 2).mean())),
+                   ate_oracle=ate(pr, ids_r), ate_tpu=ate(pt, ids_t))
+        with open(args.json, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
