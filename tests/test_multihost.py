@@ -60,7 +60,8 @@ def test_multihost_matches_single_process(datatype, n, n_hosts):
                                    err_msg=f"pose {k}")
 
 
-@pytest.mark.parametrize("n,n_hosts", [(11, 2), (13, 3)])
+@pytest.mark.parametrize("n,n_hosts", [
+    (11, 2), pytest.param(13, 3, marks=pytest.mark.slow)])
 def test_multihost_arbitrary_counts(n, n_hosts):
     """Carry-aware chunking: odd, non-power-of-two map counts (the reference
     NC3500 set is 3,499 maps) decompose exactly — partial tail blocks ride
@@ -98,7 +99,13 @@ def test_multihost_two_processes(tmp_path):
         env = dict(os.environ)
         env.update(JAX_PLATFORMS="cpu",
                    XLA_FLAGS="--xla_force_host_platform_device_count=4",
-                   LINEARSFM_JAX_CACHE="0")
+                   LINEARSFM_JAX_CACHE="0",
+                   # machine-local disk cache (same policy as conftest):
+                   # the workers recompile the whole subtree otherwise
+                   JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                       "LINEARSFM_TEST_CACHE",
+                       "/tmp/linearsfm_jax_cpu_cache"),
+                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
         procs.append(subprocess.Popen(
             [sys.executable, script, f"127.0.0.1:{port}", "2", str(pid),
              str(tmp_path)],

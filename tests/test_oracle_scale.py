@@ -80,11 +80,13 @@ def _run_case(tmp_path, datatype, num, noise, seed, atol, covis_radius=6.0,
 
 
 def test_oracle_stereo_covis(tmp_path):
-    _run_case(tmp_path, "stereo", 32, 0.005, 31, atol=1e-5)
+    # 24 maps: odd tree (24->12->6->3->2->1) with loop-closure structure at
+    # every level; bigger counts belong to the slow tier.
+    _run_case(tmp_path, "stereo", 24, 0.005, 31, atol=1e-5)
 
 
 def test_oracle_mono_covis(tmp_path):
-    _run_case(tmp_path, "mono", 16, 0.005, 32, atol=1e-4)
+    _run_case(tmp_path, "mono", 12, 0.005, 32, atol=1e-4)
 
 
 @pytest.mark.slow

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pattern", default="loop")
+    ap.add_argument("--exec", dest="executor", default="device",
+                    help="tree executor (production default: device)")
+    ap.add_argument("--method", default="refine",
+                    help="solver method (production default: refine)")
     ap.add_argument("--covis", action="store_true",
                     help="loop-closure co-visibility (radius 6, max 6 — the "
                          "bench/baseline dataset family)")
@@ -57,7 +61,8 @@ def main():
 
     final, t_tpu = pipeline.run(d, args.num, args.type,
                                 pose_path=d + "/pose_tpu.txt",
-                                feat_path=d + "/feat_tpu.txt", progress=False)
+                                feat_path=d + "/feat_tpu.txt", progress=False,
+                                executor=args.executor, method=args.method)
 
     ids_r, pr = lio.read_poses(d + "/pose_ref.txt")
     ids_t, pt = lio.read_poses(d + "/pose_tpu.txt")

@@ -88,7 +88,7 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"  FAILED: {e}", flush=True)
                 continue
-            data[key] = (num - 1) / r["wall"]
+            data[key] = (num - 1) / r["solve"]  # reference-reported solve time
             data[f"{datatype}{tag}_wall_s_{num}"] = r["wall"]
             data[f"{datatype}{tag}_solve_s_{num}"] = r["solve"]
             with open(BMJ, "w") as fh:
