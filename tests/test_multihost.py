@@ -45,6 +45,7 @@ def _run_simulated(lms, datatype, n_hosts, kw):
 
 @pytest.mark.parametrize("datatype,n,n_hosts", [
     ("stereo", 8, 2),
+    ("mono", 6, 2),   # mono (scale-gauge) decomposition in the DEFAULT tier
     pytest.param("mono", 8, 2, marks=pytest.mark.slow)])
 def test_multihost_matches_single_process(datatype, n, n_hosts):
     # method="direct" (full f64): the decomposition is then exact to
