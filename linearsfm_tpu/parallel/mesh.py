@@ -43,12 +43,24 @@ def fs_mesh(n: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("fs",))
 
 
-def auto_solver(datatype: str, use_mesh: bool = True, **kw):
-    """TreeSolver wired to the available devices: pair-parallel levels plus
-    feature-sharded root joins when more than one device is present."""
-    from ..core.tree import TreeSolver
+def auto_solver(datatype: str, use_mesh: bool = True, executor: str = "device",
+                **kw):
+    """The production solver wired to the available devices.
+
+    executor="device" (default): DeviceTreeSolver with its per-level
+    parallel-axis policy — shard_map'd "dp" levels over the pair axis,
+    feature-sharded "tp" root levels (one mesh serves both; see
+    core/device_tree.py). executor="host": the legacy host-driven TreeSolver
+    with separate pairs/fs meshes.
+    """
     ndev = len(jax.devices())
+    if executor == "host":
+        from ..core.tree import TreeSolver
+        if use_mesh and ndev > 1:
+            kw.setdefault("mesh", pairs_mesh())
+            kw.setdefault("root_mesh", fs_mesh())
+        return TreeSolver(datatype, **kw)
+    from ..core.device_tree import DeviceTreeSolver
     if use_mesh and ndev > 1:
         kw.setdefault("mesh", pairs_mesh())
-        kw.setdefault("root_mesh", fs_mesh())
-    return TreeSolver(datatype, **kw)
+    return DeviceTreeSolver(datatype, **kw)
