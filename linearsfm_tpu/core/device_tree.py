@@ -189,6 +189,15 @@ class DeviceTreeSolver:
         # the program identity under a mesh.
         cfg = self._cfg(lp.join_m if lp.join_m is not None
                         else 2 * lp.caps_in[0])
+        # Axon-worker crash workaround: the Pallas block-COO kernel is only
+        # dispatched when the vmapped pair batch is <= 1024 lanes or an
+        # exact power of two (measured: 1749/1750-lane batches crash the TPU
+        # worker; 875/1023/1024/2048 run). The excluded region only occurs
+        # at the widest (bottom) levels, whose small block lists make the
+        # jnp scatter fallback cheap to compile.
+        npair = lp.count // 2
+        if npair > 1024 and (npair & (npair - 1)) != 0:
+            cfg = cfg._replace(use_pallas=False)
         return (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg,
                 in_dp if self.mesh is not None else False), cfg
 

@@ -62,6 +62,13 @@ class JoinConfig(NamedTuple):
     with_res: bool = False
     escalate_iters: int = 0
     escalate_tol: float = 1e-8
+    # Pallas block-COO densification opt-out. The axon TPU worker CRASHES
+    # executing the kernel under vmap at certain batch sizes (~1749-1750
+    # lanes measured; 875/1023/1024/2048 fine), so wide non-power-of-two
+    # levels fall back to the jnp scatter — they only occur at the tree
+    # bottom where the block lists are small and the scatter compiles
+    # cheaply (core/device_tree._level_key sets this).
+    use_pallas: bool = True
 
 
 def _match_features(end_ids, end_valid, cur_ids, cur_valid, n1, out_cap):
@@ -159,11 +166,12 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
             U, Uij, W, Wpf, V, eP, eF, Mo, fixed, max_obs=cfg.max_obs,
             force_dense=cfg.dense_schur, iters=cfg.refine_iters,
             escalate_iters=cfg.escalate_iters,
-            escalate_tol=cfg.escalate_tol)
+            escalate_tol=cfg.escalate_tol, use_pallas=cfg.use_pallas)
     else:
         Vinv = schur.inv3x3_sym(V)
         S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,
-                                    cfg.max_obs, force_dense=cfg.dense_schur)
+                                    cfg.max_obs, force_dense=cfg.dense_schur,
+                                    use_pallas=cfg.use_pallas)
         x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,
                                 refine_iters=cfg.refine_iters)
         xp = x.reshape(Mo, 6)
@@ -297,11 +305,12 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
             U, Uij, W, Wpf, V, eP, eF, Mo, fixed, max_obs=cfg.max_obs,
             force_dense=cfg.dense_schur, iters=cfg.refine_iters,
             fixc=fixc, sign=sign, escalate_iters=cfg.escalate_iters,
-            escalate_tol=cfg.escalate_tol)
+            escalate_tol=cfg.escalate_tol, use_pallas=cfg.use_pallas)
     else:
         Vinv = schur.inv3x3_sym(V)
         S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,
-                                    cfg.max_obs, force_dense=cfg.dense_schur)
+                                    cfg.max_obs, force_dense=cfg.dense_schur,
+                                    use_pallas=cfg.use_pallas)
         if cfg.pin == "sign":
             E = E - jnp.take(S, fixc, axis=1) * sign
         x = solve.solve_reduced(S, E, fixed_mask=fixed, method=cfg.method,

@@ -132,15 +132,16 @@ def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
     return entry[:N], valid[:N], overflowed
 
 
-def _use_pallas_dense() -> bool:
+def _use_pallas_dense(enabled: bool = True) -> bool:
     import os
-    if os.environ.get("LINEARSFM_PALLAS", "1") == "0":
+    if not enabled or os.environ.get("LINEARSFM_PALLAS", "1") == "0":
         return False
     from . import pallas_kernels as pk
     return pk.on_tpu()
 
 
-def densify_blocks(rows, cols, vals, M: int, N: int):
+def densify_blocks(rows, cols, vals, M: int, N: int,
+                   use_pallas: bool = True):
     """Dense [R*M, C*N] from a block-COO list (scatter-add semantics).
 
     rows < 0 = padding (skipped). Dispatches the Pallas block-COO kernel on
@@ -148,7 +149,7 @@ def densify_blocks(rows, cols, vals, M: int, N: int):
     the exact jnp element-flattened scatter.
     """
     K, R, C = vals.shape
-    if vals.dtype == jnp.float32 and _use_pallas_dense():
+    if vals.dtype == jnp.float32 and _use_pallas_dense(use_pallas):
         from . import pallas_kernels as pk
         return pk.blockcoo_to_dense(rows, cols, vals, M, N)
     rR = jnp.arange(R)
@@ -166,7 +167,8 @@ def densify_blocks(rows, cols, vals, M: int, N: int):
         vals.reshape(-1), mode="drop")
 
 
-def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
+def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int,
+                          use_pallas: bool = True):
     """Large-join Schur path: dense [6M,3N] W and MXU matmuls.
 
     Materializes the block lists into clean 2-D layouts and computes
@@ -197,13 +199,14 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
     # memory bounded by the stripe, MXU throughput unchanged (the product is
     # the same flops in Nc-wide slabs).
     if dtype == jnp.float32 and 6 * M * 3 * N * 4 > _DENSE_W_BYTES:
+        up = use_pallas
         nch = -(-(6 * M * 3 * N * 4) // _DENSE_W_BYTES)
         Nc = -(-N // nch)
         nch = -(-N // Nc)
         urow = jnp.where(jnp.any(U != 0, axis=(1, 2)), ui, -1)
-        D = densify_blocks(urow, uj, U, M, M)
+        D = densify_blocks(urow, uj, U, M, M, up)
         diagU = jnp.where((ui == uj)[:, None, None], U, 0.0)
-        Dd = densify_blocks(urow, uj, diagU, M, M)
+        Dd = densify_blocks(urow, uj, diagU, M, M, up)
         A = D + D.T - 0.5 * (Dd + Dd.T)
         eFp = jnp.pad(eF, ((0, Nc * nch - N), (0, 0)))
         wvalid = jnp.any(W != 0, axis=(1, 2))
@@ -214,8 +217,8 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
             own = wvalid & (wf >= lo) & (wf < lo + Nc)
             wrow = jnp.where(own, wp, -1)
             wcol = jnp.clip(wf - lo, 0, Nc - 1)
-            Wd = densify_blocks(wrow, wcol, W, M, Nc)
-            Yd = densify_blocks(wrow, wcol, Yb, M, Nc)
+            Wd = densify_blocks(wrow, wcol, W, M, Nc, up)
+            Yd = densify_blocks(wrow, wcol, Yb, M, Nc, up)
             eFc = jax.lax.dynamic_slice_in_dim(eFp, lo, Nc)
             return (S - Yd @ Wd.T, e - Yd @ eFc.reshape(-1))
 
@@ -225,7 +228,7 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
 
     # Pallas path is f32-only (the dense assembly is the f32 preconditioner
     # side of solve_full_mixed); an f64 caller keeps the exact jnp scatter.
-    if dtype == jnp.float32 and _use_pallas_dense():
+    if dtype == jnp.float32 and _use_pallas_dense(use_pallas):
         from . import pallas_kernels as pk
         # Zero-valued entries (list padding, dropped couplings) are routed to
         # row -1: the kernel skips them on its cheap predicated path AND the
@@ -276,7 +279,7 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int):
 
 
 def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
-                   force_dense: bool = False):
+                   force_dense: bool = False, use_pallas: bool = True):
     """Dense reduced camera system: S[6M,6M], E[6M].
 
     S = scatter(U) - sum_f W_f Vinv_f W_f^T, grouped per feature with a static
@@ -288,7 +291,8 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
     N = Vinv.shape[0]
     dtype = U.dtype
     if force_dense or 6 * M >= _DENSE_SCHUR_DIM:
-        return _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M)
+        return _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M,
+                                     use_pallas=use_pallas)
     ui, uj = Uij[:, 0], Uij[:, 1]
     wp, wf = Wpf[:, 0], Wpf[:, 1]
 
@@ -337,7 +341,8 @@ def assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, M: int, max_obs: int,
 def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
                      max_obs: int = 1, force_dense: bool = False,
                      iters: int = 3, fixc=None, sign=None,
-                     escalate_iters: int = 0, escalate_tol: float = 1e-8):
+                     escalate_iters: int = 0, escalate_tol: float = 1e-8,
+                     use_pallas: bool = True):
     """Mixed-precision fusion solve: f32 Schur factor + full-system f64 PCG.
 
     The reference factorizes the reduced camera system in f64 CHOLMOD
@@ -389,7 +394,8 @@ def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
     Vinv32 = inv3x3_sym(V32)
     S32, E32 = assemble_schur(U32, Uij, W32, Wpf, Vinv32,
                               eP.astype(f32), eF.astype(f32), M,
-                              max_obs, force_dense=force_dense)
+                              max_obs, force_dense=force_dense,
+                              use_pallas=use_pallas)
     if fixc is not None:
         E32 = E32 - jnp.take(S32, fixc, axis=1) * jnp.asarray(sign, f32)
     S32, E32 = solve_mod.mask_gauge(S32, E32, fixed_mask)
