@@ -75,8 +75,11 @@ class DeviceTreeSolver:
         self.datatype = datatype
         # Multi-chip execution (None = single chip). A single-axis
         # jax.sharding.Mesh; each tree level picks its own parallel axis:
-        #   "dp"  — count % 2*ndev == 0 and the re-gauge lane pattern is
-        #           device-uniform: the stacked level program runs under
+        #   "dp"  — any level with >= ndev pairs whose re-gauge flags are
+        #           periodic in the device-local lane count (the every-2nd-
+        #           output pattern always is): pair lanes are PADDED to a
+        #           multiple of ndev with clones (dropped after) and the odd
+        #           carry handled outside, then the level program runs under
         #           shard_map over the PAIR axis (the level's joins are
         #           independent, reference LinearSFMImp.cpp:1938-1993);
         #   "tp"  — the root-style count==2 levels with join_m >=
@@ -180,26 +183,26 @@ class DeviceTreeSolver:
         return dcompact.compact_device(t, *caps_out)[0]
 
     # -- level program ---------------------------------------------------------
-    def _level_key(self, lp: plan_mod.LevelPlan, in_dp: bool = False):
+    def _level_key(self, lp: plan_mod.LevelPlan):
         # Exact plans carry the true max joined pose count of the level; the
         # bucketed 2*caps_in[0] upper bound is only the count-based fallback
         # (it can straddle top_min_m and pick the wrong iteration band).
-        # `in_dp`: the PREVIOUS level emitted pair-sharded output — AOT
-        # executables never reshard inputs, so the input sharding is part of
-        # the program identity under a mesh.
         cfg = self._cfg(lp.join_m if lp.join_m is not None
                         else 2 * lp.caps_in[0])
-        # Axon-worker crash workaround: the Pallas block-COO kernel is only
-        # dispatched when the vmapped pair batch is <= 1024 lanes or an
-        # exact power of two (measured: 1749/1750-lane batches crash the TPU
-        # worker; 875/1023/1024/2048 run). The excluded region only occurs
-        # at the widest (bottom) levels, whose small block lists make the
-        # jnp scatter fallback cheap to compile.
+        # Axon-worker crash workaround: the Pallas block-COO kernel crashes
+        # the TPU worker when vmapped over a wide non-power-of-two batch
+        # (measured: 1749/1750-lane batches crash; 875/1023/1024/2048 run).
+        # The gate keys on BOTH the lane count AND the block-list size:
+        # small lists fall back to the jnp scatter (compiles cheaply — cost
+        # is ~60 MB per million scattered elements), while large lists keep
+        # the kernel and _build_body splits the merge vmap into <=1024-lane
+        # calls instead (below the measured crash boundary).
         npair = lp.count // 2
         if npair > 1024 and (npair & (npair - 1)) != 0:
-            cfg = cfg._replace(use_pallas=False)
-        return (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg,
-                in_dp if self.mesh is not None else False), cfg
+            scatter_elems = 36 * lp.caps_in[2] + 18 * lp.caps_in[3]
+            if scatter_elems <= 100_000:
+                cfg = cfg._replace(use_pallas=False)
+        return (lp.count, lp.caps_in, lp.caps_out, lp.regauge, cfg), cfg
 
     def _plan_modes(self, tp: plan_mod.TreePlan) -> list[str]:
         return [self._level_mode(lp, self._level_key(lp)[1])
@@ -222,8 +225,20 @@ class DeviceTreeSolver:
         def prog(x: types.LocalMap):  # noqa: ANN001
             G = jax.tree.map(lambda a: a[0:2 * npair:2], x)
             Mb = jax.tree.map(lambda a: a[1:2 * npair:2], x)
-            merged, res = jax.vmap(
-                lambda g, m: self._merge_one(g, m, cfg))(G, Mb)
+            merge = jax.vmap(lambda g, m: self._merge_one(g, m, cfg))
+            if cfg.use_pallas and npair > 1024 and (npair & (npair - 1)):
+                # Keep the Pallas densify kernel but stay below the axon
+                # worker's measured vmap-width crash boundary: run the merge
+                # as <=1024-lane chunks (see _level_key gate note).
+                parts = [merge(jax.tree.map(lambda a, s=s, e=e: a[s:e], G),
+                               jax.tree.map(lambda a, s=s, e=e: a[s:e], Mb))
+                         for s, e in [(s, min(s + 1024, npair))
+                                      for s in range(0, npair, 1024)]]
+                merged = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                                      *[p[0] for p in parts])
+                res = jnp.concatenate([p[1] for p in parts])
+            else:
+                merged, res = merge(G, Mb)
             if count % 2 == 1:
                 carry = jax.tree.map(lambda a: a[count - 1], x)
                 mg = jax.tree.map(lambda a: a[0], merged)
@@ -253,25 +268,48 @@ class DeviceTreeSolver:
 
         return prog
 
+    def _dp_pattern(self, lp: plan_mod.LevelPlan):
+        """Device-uniform per-device regauge flag pattern for dp lane
+        sharding, or None if this level can't shard.
+
+        Arbitrary level counts — including the reference's odd-carry NC3500
+        ladder 3499→1750→875→… (README.txt:64), where no level count is
+        divisible by 2*ndev — are made shardable by PADDING the pair lanes to
+        a multiple of ndev with clones of pair 0 (outputs dropped; the joins
+        are lane-independent, LinearSFMImp.cpp:1938-1993) and carrying the
+        odd lane outside the shard_map. The only remaining requirement is
+        that the real pairs' regauge flags are periodic in the device-local
+        lane count; the every-2nd-output pattern satisfies this whenever the
+        local count is even, so both ceil(npair/ndev) and its even round-up
+        are tried."""
+        if self.mesh is None or self._nd <= 1 or lp.regauge is None:
+            return None
+        nd = self._nd
+        npair = lp.count // 2
+        if npair < nd:
+            return None
+        flags = tuple(bool(f) for f in lp.regauge[:npair])
+        base = -(-npair // nd)
+        for local in (base, base + (base & 1)):
+            cand = (flags * ((local + npair - 1) // npair))[:local]
+            if all(flags[i] == cand[i % local] for i in range(npair)):
+                return cand
+        return None
+
     def _level_mode(self, lp: plan_mod.LevelPlan, cfg) -> str:
         """Parallel axis for this level: dp | tp | rep | single (see ctor)."""
         if self.mesh is None or self._nd <= 1:
             return "single"
-        nd = self._nd
-        nxt = (lp.count + 1) // 2
-        if lp.count % (2 * nd) == 0 and lp.regauge is not None:
-            loc = nxt // nd
-            chunks = [lp.regauge[d * loc:(d + 1) * loc] for d in range(nd)]
-            if all(c == chunks[0] for c in chunks):
-                return "dp"
+        if self._dp_pattern(lp) is not None:
+            return "dp"
         if (lp.count == 2 and lp.regauge is not None
                 and (lp.join_m or 0) >= self.root_shard_min
                 and cfg.method == "refine"):
             return "tp"
         return "rep"
 
-    def _level_program(self, lp: plan_mod.LevelPlan, in_dp: bool = False):
-        key, cfg = self._level_key(lp, in_dp)
+    def _level_program(self, lp: plan_mod.LevelPlan):
+        key, cfg = self._level_key(lp)
         if key in self._progs:
             return self._progs[key]
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -281,20 +319,57 @@ class DeviceTreeSolver:
             self._progs[key] = jax.jit(body)
             return self._progs[key]
 
-        pairs = NamedSharding(self.mesh, P(self._axis))
+        # Every program takes REPLICATED inputs and emits REPLICATED outputs:
+        # level counts are arbitrary (odd carries everywhere on the reference
+        # datasets), and pjit in/out shardings require lane counts divisible
+        # by the mesh — so dp levels slice their device's chunk from the
+        # replicated stack inside shard_map (free) and pay one small
+        # all-gather on the way out instead of chaining sharded boundaries.
         rep = NamedSharding(self.mesh, P())
-        in_sh = pairs if in_dp else rep
+        in_sh = rep
         if mode == "dp":
             nd = self._nd
-            loc = lp.count // nd
-            body = self._build_body(loc, lp.caps_out,
-                                    lp.regauge[:loc // 2], cfg)
+            npair = lp.count // 2
+            cand = self._dp_pattern(lp)
+            local = len(cand)
+            npair_pad = local * nd
+            pad = npair_pad - npair
+            odd = lp.count % 2 == 1
+            carry_rg = bool(lp.regauge[npair]) if odd else False
+            caps_out = lp.caps_out
+            idt = cfg.info_dtype
+            body = self._build_body(2 * local, caps_out, cand, cfg)
             sm = jax.shard_map(body, mesh=self.mesh,
                                in_specs=P(self._axis),
                                out_specs=(P(self._axis), P(self._axis)),
                                check_vma=False)
-            self._progs[key] = jax.jit(sm, in_shardings=in_sh,
-                                       out_shardings=(pairs, pairs))
+
+            def prog(x: types.LocalMap):  # noqa: ANN001
+                xp = jax.tree.map(lambda a: a[:2 * npair], x)
+                if pad:
+                    xp = jax.tree.map(
+                        lambda a: jnp.concatenate([a] + [a[0:2]] * pad), xp)
+                out, res = sm(xp)
+                if pad:
+                    out = jax.tree.map(lambda a: a[:npair], out)
+                    res = res[:npair]
+                if odd:
+                    carry = jax.tree.map(lambda a: a[lp.count - 1], x)
+                    carry = pad_to_device(carry, caps_out[0], caps_out[1],
+                                          caps_out[2], caps_out[3])
+                    carry = dataclasses.replace(
+                        carry, U=carry.U.astype(idt), W=carry.W.astype(idt),
+                        V=carry.V.astype(idt))
+                    c = (self._regauge_compact(carry, caps_out, idt)
+                         if carry_rg
+                         else dcompact.compact_device(carry, *caps_out)[0])
+                    out = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b[None]]), out, c)
+                    res = jnp.concatenate([res, jnp.zeros((1,), res.dtype)])
+                return out, res
+
+            self._progs[key] = jax.jit(prog, in_shardings=in_sh,
+                                       out_shardings=(rep, rep))
         elif mode == "tp":
             cfg_tp = cfg._replace(mesh=self.mesh, mesh_axis=self._axis)
             caps_out = lp.caps_out
@@ -351,14 +426,12 @@ class DeviceTreeSolver:
         ~max(single program compile) wall instead of the sum. Persistent-cache
         hits load concurrently the same way. Returns #programs compiled."""
         work = []  # (key, lowered)
-        modes = self._plan_modes(tp)
-        for li, lp in enumerate(tp.levels):
-            in_dp = modes[li - 1] == "dp" if li else modes[0] == "dp"
-            key = self._level_key(lp, in_dp)[0]
+        for lp in tp.levels:
+            key = self._level_key(lp)[0]
             if key in self._aot:
                 x_shape = self._aot[key][1][0]
                 continue
-            low = self._level_program(lp, in_dp).lower(x_shape)
+            low = self._level_program(lp).lower(x_shape)
             work.append((key, low))
             x_shape = low.out_info[0]  # (map, res) — only the map re-enters
         fkey = ("final", tp.root_caps, tp.root_regauge)
@@ -399,7 +472,13 @@ class DeviceTreeSolver:
     # -- full tree -----------------------------------------------------------
     def run(self, maps: list[types.LocalMap], metrics=None,
             ckpt_dir: str | None = None,
-            resume: bool = False) -> types.LocalMap:
+            resume: bool = False,
+            time_levels: bool = False) -> types.LocalMap:
+        """time_levels: block after each level dispatch and record TRUE
+        per-level execution walls into metrics (records' `exec_wall`). The
+        default async pipeline records enqueue time only — blocking costs one
+        tunnel sync per level, so this is an opt-in profiling mode (bench.py
+        runs it once after the timed pass)."""
         t0 = time.time()
         stacked = compact_mod.compact_stack(maps, self.bucket, self.u_bucket)
         t1 = time.time()
@@ -450,15 +529,9 @@ class DeviceTreeSolver:
                 else:
                     log.warning("checkpoint shape %s mismatches plan %s; "
                                 "restarting", st.pose_ids.shape, want)
-        modes = self._plan_modes(tp)
-
-        def in_dp_at(li):
-            return modes[li - 1] == "dp" if li else modes[0] == "dp"
-
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            spec = P(self._axis) if in_dp_at(start_level) else P()
-            x = jax.device_put(stacked, NamedSharding(self.mesh, spec))
+            x = jax.device_put(stacked, NamedSharding(self.mesh, P()))
         else:
             x = jax.device_put(stacked)
         t3 = time.time()
@@ -466,18 +539,23 @@ class DeviceTreeSolver:
         for li, lp in enumerate(plans):
             if li < start_level:
                 continue
-            in_dp = in_dp_at(li)
-            aot = self._aot.get(self._level_key(lp, in_dp)[0])
-            x, res = aot[0](x) if aot else self._level_program(lp, in_dp)(x)
+            aot = self._aot.get(self._level_key(lp)[0])
+            tl0 = time.time()
+            x, res = aot[0](x) if aot else self._level_program(lp)(x)
+            exec_wall = None
+            if time_levels:
+                jax.block_until_ready(x.poses)
+                exec_wall = round(time.time() - tl0, 4)
             res_per_level[li + 1] = res   # device-resident; fetched at the end
             if ckpt_dir:
                 checkpoint.save_stacked(ckpt_dir, li + 1, jax.device_get(x))
             self.join_count += lp.count // 2
             if metrics is not None:
+                extra = {} if exec_wall is None else dict(exec_wall=exec_wall)
                 metrics.record(li + 1, (lp.count + 1) // 2, lp.count // 2,
                                M=lp.caps_out[0], N=lp.caps_out[1],
                                join_m=lp.join_m,
-                               wall=round(time.time() - t0, 4))
+                               wall=round(time.time() - t0, 4), **extra)
             if self.progress:
                 log.info("Level %d dispatched (%d maps)", li + 1,
                          (lp.count + 1) // 2)

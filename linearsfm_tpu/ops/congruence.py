@@ -115,10 +115,43 @@ def congruence_emit(U, Uij, W, Wpf, V, Dp, Df, Cp, Cf, r_slot,
 # Full map transforms (state + information).
 # --------------------------------------------------------------------------
 
-def _pose_jacs_stereo(new_poses, q):
-    jac = jax.vmap(jax.jacfwd(G.stereo_pose_block, argnums=(0, 1)),
-                   in_axes=(0, None))(new_poses, q)
-    return jac  # (Dp[M,6,6], Cp[M,6,6])
+def _jacs_stereo(new_poses, new_feats, q):
+    """All stereo Jacobian families from ONE batched jacfwd.
+
+    The per-block jacobians D_i = d(block_i)/d(own block) are extracted with
+    a uniform seed: f(e) = batched_map(state + 1⊗e) has d f_i/d e =
+    d(block_i)/d(block_i) exactly (each output block depends on no other
+    block), so a single 15-tangent jacfwd over (e[6], ef[3], dq[6]) yields
+    Dp/Df/Cp/Cf/Dinv while evaluating the batched primal — and its two fused
+    trig sites — once, instead of one trig site per vmapped per-block jacfwd
+    (the executable-mass model in CLAUDE.md is per HLO op, not per element).
+    """
+    z6 = jnp.zeros(6, new_poses.dtype)
+    z3 = jnp.zeros(3, new_poses.dtype)
+
+    def f(e, ef, dq):
+        return G.stereo_batched(new_poses + e[None], new_feats + ef[None],
+                                q + dq)
+
+    (Dp, _, Cp), (_, Df, Cf), (_, _, Dinv) = jax.jacfwd(
+        f, argnums=(0, 1, 2))(z6, z3, z6)
+    return Dp, Cp, Df, Cf, Dinv
+
+
+def _jacs_mono(new_poses, new_feats, q, s, fix):
+    """Mono Jacobian families (J1=Dp/Df, J2=Cp/Cf, J3=C2p/C2f) from ONE
+    batched 18-tangent jacfwd; see _jacs_stereo for the uniform-seed trick."""
+    z6 = jnp.zeros(6, new_poses.dtype)
+    z3 = jnp.zeros(3, new_poses.dtype)
+
+    def f(e, ef, dq, ds):
+        npz, nfz, _ = G.mono_batched(new_poses + e[None], new_feats + ef[None],
+                                     q + dq, s + ds, fix)
+        return npz, nfz
+
+    ((Dp, _, Cp, C2p3),
+     (_, Df, Cf, C2f3)) = jax.jacfwd(f, argnums=(0, 1, 2, 3))(z6, z3, z6, z3)
+    return Dp, Cp, C2p3, Df, Cf, C2f3
 
 
 def transform_map_stereo(lm: types.LocalMap, new_ref_id,
@@ -140,11 +173,8 @@ def transform_map_stereo(lm: types.LocalMap, new_ref_id,
     r_slot = jnp.argmax(new_ids == old_ref_id)
     q = new_poses[r_slot]
 
-    Dp, Cp = _pose_jacs_stereo(new_poses, q)
-    Df, Cf = jax.vmap(jax.jacfwd(G.stereo_feat_block, argnums=(0, 1)),
-                      in_axes=(0, None))(new_feats, q)
+    Dp, Cp, Df, Cf, Dinv = _jacs_stereo(new_poses, new_feats, q)
     # Ref row: x_old[r] = invpose(q); own-block derivative is d invpose/dq.
-    Dinv = jax.jacfwd(G.invpose)(q)
     Dp = Dp.at[r_slot].set(Dinv)
     Cp = Cp.at[r_slot].set(0.0)
 
@@ -192,10 +222,8 @@ def transform_map_mono(lm: types.LocalMap, new_ref_id, new_scap_id, new_fix,
     q = new_poses[r_slot]
     s = new_poses[s_slot, 0:3]
 
-    (Dp, Cp, C2p3) = jax.vmap(jax.jacfwd(G.mono_pose_block, argnums=(0, 1, 2)),
-                              in_axes=(0, None, None, None))(new_poses, q, s, old.fix)
-    (Df, Cf, C2f3) = jax.vmap(jax.jacfwd(G.mono_feat_block, argnums=(0, 1, 2)),
-                              in_axes=(0, None, None, None))(new_feats, q, s, old.fix)
+    Dp, Cp, C2p3, Df, Cf, C2f3 = _jacs_mono(new_poses, new_feats, q, s,
+                                            old.fix)
     # Embed d/ds (translation-only, 3 cols) into 6-wide coupling blocks.
     C2p = jnp.concatenate([C2p3, jnp.zeros_like(C2p3)], axis=2)
     C2f = jnp.concatenate([C2f3, jnp.zeros_like(C2f3)], axis=2)

@@ -95,6 +95,54 @@ def mono_feat_block(x: jax.Array, g: jax.Array, s: jax.Array, fix: jax.Array) ->
 
 
 # --------------------------------------------------------------------------
+# Batched whole-map gauge maps. Semantically identical to vmapping the
+# per-block functions above, but all trig is funneled through ONE stacked
+# sincos site and ONE fused euler-extraction site: f64 transcendentals cost
+# ~1 MB of emulated executable code PER HLO OP on TPU (CLAUDE.md), so the
+# per-block form (one trig site per vmap callee per argument) dominated the
+# level-program executable mass; the batched form is ~10x smaller to compile.
+# --------------------------------------------------------------------------
+
+def stereo_batched(poses, feats, g):
+    """All per-block stereo maps + the invpose lane in one batched call.
+
+    Returns (new_poses[M,6] — generic formula at every slot, NOT yet
+    ref-slot-patched; new_feats[N,3]; inv[6] = invpose(g)).
+    """
+    t = g[0:3]
+    angs = jnp.concatenate([poses[:, 3:6], g[None, 3:6]], axis=0)
+    Rall = euler_to_r(angs)                      # ONE fused sincos site
+    Rx, Rg = Rall[:-1], Rall[-1]
+    tp = mat3_vec(Rg[None], poses[:, 0:3] - t)
+    prods = mat3_mul_t(Rx, Rg[None])             # R_i R^T per slot
+    stack = jnp.concatenate([prods, jnp.swapaxes(Rg, -1, -2)[None]], axis=0)
+    eulers = r_to_euler(stack)                   # ONE fused extraction site
+    new_poses = jnp.concatenate([tp, eulers[:-1]], axis=1)
+    inv = jnp.concatenate([-mat3_vec(Rg, t), eulers[-1]])
+    new_feats = mat3_vec(Rg[None], feats - t)
+    return new_poses, new_feats, inv
+
+
+def mono_batched(poses, feats, g, s, fix):
+    """All per-block mono maps in one batched call (no invpose lane: the mono
+    reference pose is an explicit block). Returns (new_poses — generic
+    formula, not yet gauge-pinned; new_feats; sign)."""
+    t = g[0:3]
+    angs = jnp.concatenate([poses[:, 3:6], g[None, 3:6]], axis=0)
+    Rall = euler_to_r(angs)
+    Rx, Rg = Rall[:-1], Rall[-1]
+    ts = mat3_vec(Rg, s - t)
+    tsf = jnp.take(ts, fix)
+    sign = jnp.where(tsf >= 0, 1.0, -1.0)
+    scale = tsf * sign
+    tp = mat3_vec(Rg[None], poses[:, 0:3] - t) / scale
+    eulers = r_to_euler(mat3_mul_t(Rx, Rg[None]))
+    new_poses = jnp.concatenate([tp, eulers], axis=1)
+    new_feats = mat3_vec(Rg[None], feats - t) / scale
+    return new_poses, new_feats, sign
+
+
+# --------------------------------------------------------------------------
 # Whole-state transforms (values only; Jacobians live in congruence.py).
 # --------------------------------------------------------------------------
 
@@ -106,11 +154,11 @@ def transform_state_stereo(pose_ids, poses, feats, new_ref_id, old_ref_id):
     """
     pose_ids = jnp.asarray(pose_ids)  # may be host/numpy-backed un-jitted
     poses = jnp.asarray(poses)
+    feats = jnp.asarray(feats)
     slot = jnp.argmax(pose_ids == new_ref_id)
     g = poses[slot]
-    new_poses = jax.vmap(stereo_pose_block, in_axes=(0, None))(poses, g)
-    new_feats = jax.vmap(stereo_feat_block, in_axes=(0, None))(feats, g)
-    new_poses = new_poses.at[slot].set(invpose(g))
+    new_poses, new_feats, inv = stereo_batched(poses, feats, g)
+    new_poses = new_poses.at[slot].set(inv)
     new_ids = pose_ids.at[slot].set(old_ref_id)
     return new_ids, new_poses, new_feats
 
@@ -120,13 +168,12 @@ def transform_state_mono(pose_ids, poses, feats, new_ref_id, new_scap_id, new_fi
     (every pose incl. the reference is an explicit block in mono)."""
     pose_ids = jnp.asarray(pose_ids)
     poses = jnp.asarray(poses)
+    feats = jnp.asarray(feats)
     slot_r = jnp.argmax(pose_ids == new_ref_id)
     slot_s = jnp.argmax(pose_ids == new_scap_id)
     g = poses[slot_r]
     s = poses[slot_s, 0:3]
-    _, sign = mono_scale(g, s, new_fix)
-    new_poses = jax.vmap(mono_pose_block, in_axes=(0, None, None, None))(poses, g, s, new_fix)
-    new_feats = jax.vmap(mono_feat_block, in_axes=(0, None, None, None))(feats, g, s, new_fix)
+    new_poses, new_feats, sign = mono_batched(poses, feats, g, s, new_fix)
     # Exact gauge pinning (LinearSFMImp.cpp:3282-3294).
     new_poses = new_poses.at[slot_r].set(jnp.zeros(6, poses.dtype))
     new_poses = new_poses.at[slot_s, :].set(

@@ -25,15 +25,28 @@ import jax.numpy as jnp
 REF_PI = 3.1415926
 
 
+def sincos3(abg: jax.Array):
+    """(sin, cos) of a [..., 3] angle triple through ONE sine op.
+
+    f64 transcendentals are software-emulated on TPU at ~1 MB of executable
+    code PER HLO OP (CLAUDE.md compile-cost model), almost independent of the
+    tensor shape — so all six values come from a single stacked
+    ``sin([x, x + pi/2])`` (cos x == sin(x + pi/2) to 1 ulp), instead of six
+    scalar-site sin/cos calls. Autodiff adds exactly one cosine op the same
+    way.
+    """
+    both = jnp.sin(jnp.concatenate([abg, abg + jnp.pi / 2], axis=-1))
+    return both[..., 0:3], both[..., 3:6]
+
+
 def euler_to_r(abg: jax.Array) -> jax.Array:
     """[..., 3] (alpha, beta, gamma) -> [..., 3, 3] rotation matrix.
 
     Row-major layout identical to lmj_RMatrixYPR22 (LinearSFMImp.cpp:132-143).
     """
-    a, b, g = abg[..., 0], abg[..., 1], abg[..., 2]
-    ca, sa = jnp.cos(a), jnp.sin(a)
-    cb, sb = jnp.cos(b), jnp.sin(b)
-    cg, sg = jnp.cos(g), jnp.sin(g)
+    s, c = sincos3(abg)
+    sa, sb, sg = s[..., 0], s[..., 1], s[..., 2]
+    ca, cb, cg = c[..., 0], c[..., 1], c[..., 2]
     r0 = jnp.stack([cb * ca, cb * sa, -sb], axis=-1)
     r1 = jnp.stack([sg * sb * ca - cg * sa, sg * sb * sa + cg * ca, sg * cb], axis=-1)
     r2 = jnp.stack([cg * sb * ca + sg * sa, cg * sb * sa - sg * ca, cg * cb], axis=-1)
@@ -44,22 +57,31 @@ def _euler_from_entries(r01, r00, r02, r12, r22, r10, r11):
     """Shared atan2 chain. Entry names follow (row, col) of R.
 
     beta  = atan2(-R[0,2], sqrt(R[0,0]^2 + R[0,1]^2))
-    alpha = atan2(R[0,1]/cb, R[0,0]/cb);  gamma = atan2(R[1,2]/cb, R[2,2]/cb)
-    Singular branch (cos beta == 0): alpha = 0, beta = pi/2,
-    gamma = atan2(R[0,1], R[1,1]) — bug-compatible with the reference, which
-    sets beta = +pi/2 regardless of sign (LinearSFMImp.cpp:166-171).
+    alpha = atan2(R[0,1], R[0,0]);  gamma = atan2(R[1,2], R[2,2])
+    The reference divides the alpha/gamma arguments by cos(beta)
+    (LinearSFMImp.cpp:172-175) — a no-op here: beta = atan2(-r02, +sqrt) lies
+    in [-pi/2, pi/2] so cos(beta) >= 0, and atan2 is invariant under positive
+    scaling of both arguments (values AND ambient derivatives agree on the
+    open set cos(beta) > 0). Dropping the division removes the cos(beta)
+    transcendental site and its autodiff tail entirely.
+
+    Singular branch (cos beta == 0, tested on r00^2 + r01^2 exactly like the
+    reference's fabs(cosbeta) > 1e-30 on the sqrt, :166-171): alpha = 0,
+    beta = pi/2 regardless of sign (bug-compatible), gamma = atan2(r01, r11).
+    All transcendentals are fused: one sqrt + two stacked atan2 ops.
     """
-    beta = jnp.arctan2(-r02, jnp.sqrt(r00 * r00 + r01 * r01))
-    cb = jnp.cos(beta)
-    # Guard the division for the (measure-zero) singular branch so that no NaN
-    # pollutes the non-taken side of jnp.where under autodiff.
-    safe_cb = jnp.where(jnp.abs(cb) < 1e-30, 1.0, cb)
-    alpha = jnp.arctan2(r01 / safe_cb, r00 / safe_cb)
-    gamma = jnp.arctan2(r12 / safe_cb, r22 / safe_cb)
-    singular = jnp.abs(cb) < 1e-30
-    alpha = jnp.where(singular, 0.0, alpha)
-    beta = jnp.where(singular, jnp.pi / 2, beta)
-    gamma = jnp.where(singular, jnp.arctan2(r01, r11), gamma)
+    cb2 = r00 * r00 + r01 * r01
+    singular = cb2 < 1e-60
+    cb = jnp.sqrt(jnp.where(singular, 1.0, cb2))
+    one = jnp.ones_like(r00)
+    ag = jnp.arctan2(
+        jnp.stack([-r02, r01, r12, r01], axis=-1),
+        jnp.stack([cb, jnp.where(singular, one, r00),
+                   jnp.where(singular, one, r22),
+                   jnp.where(singular, r11, one)], axis=-1))
+    alpha = jnp.where(singular, 0.0, ag[..., 1])
+    beta = jnp.where(singular, jnp.pi / 2, ag[..., 0])
+    gamma = jnp.where(singular, ag[..., 3], ag[..., 2])
     return jnp.stack([alpha, beta, gamma], axis=-1)
 
 

@@ -49,6 +49,30 @@ def test_device_tree_dp_levels_bit_equal():
     np.testing.assert_array_equal(np.asarray(a.feats), np.asarray(b.feats))
 
 
+def test_device_tree_dp_odd_counts():
+    """Odd, non-power-of-two level counts (the NC3500 shape: odd carry at
+    every level, never divisible by 2*ndev) still engage dp via lane padding
+    (clones dropped, carry handled outside the shard_map) and agree with the
+    single-device tree exactly."""
+    lms = _mk(11, seed=9)
+    a = DeviceTreeSolver("stereo").run(lms)
+    solver = DeviceTreeSolver("stereo", mesh=_mesh(2),
+                              root_shard_min=1 << 30)
+    from linearsfm_tpu.core import plan as plan_mod, compact as compact_mod
+    st = compact_mod.compact_stack(lms, solver.bucket, solver.u_bucket)
+    tp = plan_mod.plan_tree_exact(plan_mod.sym_of_stacked(st), "stereo",
+                                  solver.bucket, solver.u_bucket)
+    modes = solver._plan_modes(tp)
+    counts = [lp.count for lp in tp.levels]
+    assert not any(c % 4 == 0 for c in counts[:1]), counts  # truly odd start
+    assert modes.count("dp") >= 2, (counts, modes)
+    b = solver.run(lms)
+    np.testing.assert_array_equal(np.asarray(a.pose_ids),
+                                  np.asarray(b.pose_ids))
+    np.testing.assert_array_equal(np.asarray(a.poses), np.asarray(b.poses))
+    np.testing.assert_array_equal(np.asarray(a.feats), np.asarray(b.feats))
+
+
 @pytest.mark.parametrize("typ,n", [("stereo", 8), ("mono", 9)])
 def test_device_tree_tp_root(typ, n):
     """Feature-sharded root solve (psum partial S + sharded PCG matvec)

@@ -35,7 +35,7 @@ def _ensure_oracle():
 
 
 def _run_case(tmp_path, datatype, num, noise, seed, atol, covis_radius=6.0,
-              covis_max=6, oracle_timeout=600):
+              covis_max=6, oracle_timeout=600, pattern="loop"):
     from synth import generate as gen
     from linearsfm_tpu.core.device_tree import DeviceTreeSolver
     from linearsfm_tpu.core import pipeline
@@ -43,7 +43,7 @@ def _run_case(tmp_path, datatype, num, noise, seed, atol, covis_radius=6.0,
 
     maps, poses_gt, _ = gen.make_dataset(num, datatype, noise=noise, seed=seed,
                                          covis_radius=covis_radius,
-                                         covis_max=covis_max)
+                                         covis_max=covis_max, pattern=pattern)
     gen.write_dataset(maps, str(tmp_path))
 
     oracle = _ensure_oracle()
@@ -103,6 +103,23 @@ def test_oracle_mono_256(tmp_path):
 def test_oracle_stereo_1024(tmp_path):
     """Pins the 1024-map parity claim cited in BASELINE.md (covis data)."""
     _run_case(tmp_path, "stereo", 1024, 0.005, 7, atol=1e-4,
+              oracle_timeout=1800)
+
+
+def test_oracle_mono_grid_covis(tmp_path):
+    """AP_*-style stand-in in the fast tier: the bundled AP_Vaihingen/
+    Dunhuan/Jinan sets are monocular aerial lawnmower sweeps
+    (/root/reference/DataForC/AP_Vaihingen_C/*.txt:1); synth pattern="grid"
+    reproduces the long-strip + 180-degree-turn geometry with cross-strip
+    co-visibility."""
+    _run_case(tmp_path, "mono", 12, 0.005, 33, atol=1e-4, pattern="grid")
+
+
+@pytest.mark.slow
+def test_oracle_mono_grid_256(tmp_path):
+    """AP-style mono grid parity at scale (VERDICT r04 item 6): 256-map
+    monocular lawnmower sweep with cross-strip covis vs the oracle."""
+    _run_case(tmp_path, "mono", 256, 0.005, 7, atol=1e-3, pattern="grid",
               oracle_timeout=1800)
 
 

@@ -33,32 +33,68 @@ def main():
                          "bench/baseline dataset family)")
     ap.add_argument("--json", default=None,
                     help="write the comparison record to this path")
+    ap.add_argument("--dir", default=None,
+                    help="persistent working dir (default: fresh tempdir)")
+    ap.add_argument("--phase", choices=["both", "oracle", "tpu"],
+                    default="both",
+                    help="'oracle': generate data + run the reference only "
+                         "(background-friendly, records timing in "
+                         "DIR/oracle_meta.json); 'tpu': reuse DIR from a "
+                         "previous oracle phase and run/compare the TPU side")
     args = ap.parse_args()
+
+    import json
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from synth import generate as gen
-    from linearsfm_tpu.core import pipeline
     from linearsfm_tpu.io import localmap as lio
 
-    d = tempfile.mkdtemp(prefix="ate_")
-    cov = dict(covis_radius=6.0, covis_max=6) if args.covis else {}
-    maps, poses_gt, _ = gen.make_dataset(args.num, args.type, noise=args.noise,
-                                         seed=args.seed, pattern=args.pattern,
-                                         **cov)
-    gen.write_dataset(maps, d)
+    d = args.dir or tempfile.mkdtemp(prefix="ate_")
+    os.makedirs(d, exist_ok=True)
+    meta_path = os.path.join(d, "oracle_meta.json")
 
-    oracle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "oracle", "linearsfm_oracle")
-    typ = "Stereo" if args.type == "stereo" else "Monocular"
-    t0 = time.time()
-    subprocess.run([oracle, "-path", d, "-num", str(args.num), "-type", typ,
-                    "-p", d + "/pose_ref.txt", "-f", d + "/feat_ref.txt"],
-                   check=True, capture_output=True, timeout=3600)
-    t_oracle = time.time() - t0
+    if args.phase in ("both", "oracle"):
+        cov = dict(covis_radius=6.0, covis_max=6) if args.covis else {}
+        maps, poses_gt, _ = gen.make_dataset(args.num, args.type,
+                                             noise=args.noise, seed=args.seed,
+                                             pattern=args.pattern, **cov)
+        gen.write_dataset(maps, d)
+        np.save(os.path.join(d, "poses_gt.npy"), poses_gt)
 
+        oracle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "oracle", "linearsfm_oracle")
+        typ = "Stereo" if args.type == "stereo" else "Monocular"
+        t0 = time.time()
+        r = subprocess.run([oracle, "-path", d, "-num", str(args.num),
+                            "-type", typ, "-p", d + "/pose_ref.txt",
+                            "-f", d + "/feat_ref.txt"],
+                           check=True, capture_output=True, timeout=7200)
+        t_oracle = time.time() - t0
+        import re
+        m = re.search(r"Total Used Time:\s*([0-9.]+)", r.stdout.decode())
+        with open(meta_path, "w") as fh:
+            json.dump(dict(num=args.num, type=args.type, noise=args.noise,
+                           seed=args.seed, covis=bool(args.covis),
+                           pattern=args.pattern, oracle_wall_s=t_oracle,
+                           oracle_solve_s=float(m.group(1)) if m else None),
+                      fh, indent=1)
+        if args.phase == "oracle":
+            print(f"oracle phase done: wall {t_oracle:.2f}s -> {meta_path}")
+            return
+    else:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        for k in ("num", "type", "covis", "pattern"):
+            got = getattr(args, "covis" if k == "covis" else k)
+            want = meta[k]
+            assert got == want, f"--{k}={got} mismatches oracle dir ({want})"
+        t_oracle = meta["oracle_wall_s"]
+
+    poses_gt = np.load(os.path.join(d, "poses_gt.npy"))
+    from linearsfm_tpu.core import pipeline
     final, t_tpu = pipeline.run(d, args.num, args.type,
                                 pose_path=d + "/pose_tpu.txt",
                                 feat_path=d + "/feat_tpu.txt", progress=False,
@@ -78,7 +114,6 @@ def main():
     print(f"pose diff vs oracle: max {d_ref.max():.3e}  rms {np.sqrt((d_ref**2).mean()):.3e}")
     print(f"ATE vs gt: oracle {ate(pr, ids_r):.4f}  tpu {ate(pt, ids_t):.4f}")
     if args.json:
-        import json
         rec = dict(num=args.num, type=args.type, noise=args.noise,
                    seed=args.seed, covis=bool(args.covis),
                    oracle_wall_s=round(t_oracle, 3),

@@ -73,11 +73,13 @@ def build_system(pairs, n_poses, rng):
 
 
 def main():
-    num = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    num = int(args[0]) if args else 2048
     out = None
     if "--json" in sys.argv:
         out = sys.argv[sys.argv.index("--json") + 1]
-    pairs = coobservation_pairs(num)
+    datatype = "mono" if "--mono" in sys.argv else "stereo"
+    pairs = coobservation_pairs(num, datatype)
     rng = np.random.default_rng(0)
 
     rows = []
@@ -107,7 +109,7 @@ def main():
           f"=> <= {(num - 1) / total:.1f} maps/s", flush=True)
     if out:
         with open(out, "w") as fh:
-            json.dump(dict(num=num, floor_s=round(total, 2),
+            json.dump(dict(num=num, type=datatype, floor_s=round(total, 2),
                            floor_maps_per_s=round((num - 1) / total, 2),
                            levels=rows), fh, indent=1)
 
