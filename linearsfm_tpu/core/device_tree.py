@@ -70,7 +70,7 @@ class DeviceTreeSolver:
                  top_min_m: int = 256, top_iters: int = 16,
                  plan_offset: int = 0, final_regauge: bool = True,
                  mesh=None, root_shard_min: int = 256,
-                 escalate_tol: float = 1e-8):
+                 escalate_tol: float = 1e-8, pcg_exit_tol: float = 1e-14):
         assert datatype in ("stereo", "mono")
         self.datatype = datatype
         # Multi-chip execution (None = single chip). A single-axis
@@ -93,6 +93,12 @@ class DeviceTreeSolver:
         self._nd = int(mesh.devices.size) if mesh is not None else 0
         self.root_shard_min = root_shard_min
         self.escalate_tol = escalate_tol
+        # Top-band PCG early exit: the 16-sweep cap exists for conditioning
+        # safety, but measured residuals hit 1e-15..1e-23 well before it
+        # (BENCH r5) — exiting at a near-machine relative residual halves
+        # the dominant root-level wall with no accuracy change at printed
+        # precision. 0 disables (fixed trip count).
+        self.pcg_exit_tol = pcg_exit_tol
         # Subtree execution (multi-host host-local phase): global map offset
         # for the position-parity re-gauge policy + whether the tree root is
         # the WHOLE problem's root (parallel/multihost.py).
@@ -152,7 +158,8 @@ class DeviceTreeSolver:
             pin=self.pin, dense_schur=True, info_dtype="float64",
             with_res=True,
             escalate_iters=self.top_iters if top else 0,
-            escalate_tol=self.escalate_tol)
+            escalate_tol=self.escalate_tol,
+            exit_tol=self.pcg_exit_tol if top else 0.0)
 
     # -- building blocks -----------------------------------------------------
     def _merge_one(self, g: types.LocalMap, m: types.LocalMap,

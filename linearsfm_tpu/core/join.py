@@ -62,6 +62,12 @@ class JoinConfig(NamedTuple):
     with_res: bool = False
     escalate_iters: int = 0
     escalate_tol: float = 1e-8
+    # PCG early exit (method="refine"): > 0 makes refine_iters a CAP — the
+    # sweep loop stops as soon as the relative f64 residual drops below
+    # exit_tol (lax.while_loop). The top tree levels converge to 1e-15..1e-23
+    # well before the 16-sweep cap (bench telemetry), so the device executor
+    # sets a near-machine exit there. 0 = fixed trip count.
+    exit_tol: float = 0.0
     # Pallas block-COO densification opt-out. The axon TPU worker CRASHES
     # executing the kernel under vmap at certain batch sizes (~1749-1750
     # lanes measured; 875/1023/1024/2048 fine), so wide non-power-of-two
@@ -153,7 +159,7 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
                 U, Uij, W, Wpf, V, eP, eF, Mo, fixed, mesh=cfg.mesh,
                 axis=cfg.mesh_axis, iters=cfg.refine_iters,
                 escalate_iters=cfg.escalate_iters,
-                escalate_tol=cfg.escalate_tol)
+                escalate_tol=cfg.escalate_tol, exit_tol=cfg.exit_tol)
         else:
             xp, xf = shard_solve.sharded_schur_solve(
                 U, Uij, W, Wpf, V, eP, eF, Mo, cfg.max_obs, cfg.mesh,
@@ -166,7 +172,8 @@ def join_stereo(end: types.LocalMap, cur: types.LocalMap,
             U, Uij, W, Wpf, V, eP, eF, Mo, fixed, max_obs=cfg.max_obs,
             force_dense=cfg.dense_schur, iters=cfg.refine_iters,
             escalate_iters=cfg.escalate_iters,
-            escalate_tol=cfg.escalate_tol, use_pallas=cfg.use_pallas)
+            escalate_tol=cfg.escalate_tol, exit_tol=cfg.exit_tol,
+            use_pallas=cfg.use_pallas)
     else:
         Vinv = schur.inv3x3_sym(V)
         S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,
@@ -290,7 +297,7 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
                 U, Uij, W, Wpf, V, eP, eF, Mo, fixed, mesh=cfg.mesh,
                 axis=cfg.mesh_axis, iters=cfg.refine_iters,
                 fixc=fixc, sign=sign, escalate_iters=cfg.escalate_iters,
-                escalate_tol=cfg.escalate_tol)
+                escalate_tol=cfg.escalate_tol, exit_tol=cfg.exit_tol)
         else:
             # NB with gauge-conditioned inputs the pinned coordinate carries
             # zero information, so no RHS correction is needed here.
@@ -305,7 +312,8 @@ def join_mono(end: types.LocalMap, cur: types.LocalMap,
             U, Uij, W, Wpf, V, eP, eF, Mo, fixed, max_obs=cfg.max_obs,
             force_dense=cfg.dense_schur, iters=cfg.refine_iters,
             fixc=fixc, sign=sign, escalate_iters=cfg.escalate_iters,
-            escalate_tol=cfg.escalate_tol, use_pallas=cfg.use_pallas)
+            escalate_tol=cfg.escalate_tol, exit_tol=cfg.exit_tol,
+            use_pallas=cfg.use_pallas)
     else:
         Vinv = schur.inv3x3_sym(V)
         S, E = schur.assemble_schur(U, Uij, W, Wpf, Vinv, eP, eF, Mo,

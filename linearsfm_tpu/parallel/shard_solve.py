@@ -126,7 +126,7 @@ def sharded_schur_solve(U, Uij, W, Wpf, V, eP, eF, M: int, max_obs: int,
 def sharded_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask,
                        mesh: Mesh, axis: str = "fs", *, iters: int = 16,
                        fixc=None, sign=None, escalate_iters: int = 0,
-                       escalate_tol: float = 1e-8):
+                       escalate_tol: float = 1e-8, exit_tol: float = 0.0):
     """Feature-sharded mixed-precision fusion solve (PCG; see module doc).
 
     Mirrors ops/schur.solve_full_mixed (same preconditioner, same iteration,
@@ -255,8 +255,12 @@ def sharded_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask,
         rz0 = dot(rP, rF, zP, zF)
         tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
 
-        def step(_, carry):
-            xp, xf, rP, rF, pP, pF, rz = carry
+        enorm = jnp.maximum(jnp.sqrt(dot(jnp.where(freeP, eP, 0.0), eF,
+                                         jnp.where(freeP, eP, 0.0), eF)),
+                            tiny)
+
+        def step(carry):
+            xp, xf, rP, rF, pP, pF, rz, _res2, i = carry
             qP, qF = matvec(pP, pF)
             pq = dot(pP, pF, qP, qF)
             alpha = jnp.where(pq > 0, rz / jnp.maximum(pq, tiny), 0.0)
@@ -269,21 +273,28 @@ def sharded_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask,
             beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, tiny), 0.0)
             pP = zP + beta * pP
             pF = zF + beta * pF
-            return xp, xf, rP, rF, pP, pF, rz_new
+            return (xp, xf, rP, rF, pP, pF, rz_new,
+                    dot(rP, rF, rP, rF), i + 1)
 
-        init = (xp0, xf0, rP, rF, zP, zF, rz0)
-        carry = jax.lax.fori_loop(0, iters, step, init)
-        enorm = jnp.maximum(jnp.sqrt(dot(jnp.where(freeP, eP, 0.0), eF,
-                                         jnp.where(freeP, eP, 0.0), eF)),
-                            tiny)
+        init = (xp0, xf0, rP, rF, zP, zF, rz0, dot(rP, rF, rP, rF),
+                jnp.asarray(0, jnp.int32))
+        # The residual and counter are replicated across shards, so every
+        # device evaluates the same early-exit condition (no divergence).
+        if exit_tol:
+            tol2 = (jnp.asarray(exit_tol, dt) * enorm) ** 2
+            carry = jax.lax.while_loop(
+                lambda c: (c[8] < iters) & (c[7] > tol2), step, init)
+        else:
+            carry = jax.lax.fori_loop(0, iters, lambda _, c: step(c), init)
 
         def _res(c):
-            return jnp.sqrt(dot(c[2], c[3], c[2], c[3])) / enorm
+            return jnp.sqrt(c[7]) / enorm
 
         if escalate_iters:
             carry = jax.lax.cond(
                 _res(carry) > escalate_tol,
-                lambda c: jax.lax.fori_loop(0, escalate_iters, step, c),
+                lambda c: jax.lax.fori_loop(0, escalate_iters,
+                                            lambda _, cc: step(cc), c),
                 lambda c: c, carry)
         xp, xf = carry[:2]
         return pin(xp), xf, _res(carry)

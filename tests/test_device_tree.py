@@ -79,6 +79,22 @@ def test_device_tree_matches_host_tree(typ, n):
         np.testing.assert_allclose(fa[k], fb[k], atol=1e-9)
 
 
+def test_device_tree_pcg_early_exit():
+    """Top-band PCG early exit (pcg_exit_tol) through the tree executor:
+    forcing every level into the top band (top_min_m tiny) with the exit
+    enabled must agree with the fixed-trip solver to PCG-convergence
+    accuracy — the exit fires only below a near-machine residual."""
+    maps, _, _ = gen.make_dataset(9, "stereo", noise=0.01, seed=21)
+    lms = [m.to_local_map() for m in maps]
+    kw = dict(method="refine", top_min_m=4, top_iters=16)
+    a = DeviceTreeSolver("stereo", pcg_exit_tol=0.0, **kw).run(lms)
+    b = DeviceTreeSolver("stereo", pcg_exit_tol=1e-14, **kw).run(lms)
+    pa, pb = _by_id(a.pose_ids, a.poses), _by_id(b.pose_ids, b.poses)
+    assert set(pa) == set(pb)
+    for k in pa:
+        np.testing.assert_allclose(pa[k], pb[k], atol=1e-9)
+
+
 def test_device_tree_refine_close_to_direct():
     maps, _, _ = gen.make_dataset(16, "stereo", noise=0.01, seed=9)
     lms = [m.to_local_map() for m in maps]

@@ -217,3 +217,19 @@ def test_solve_full_mixed_residual_and_escalation():
                                         escalate_iters=3, escalate_tol=1e30)
     np.testing.assert_array_equal(np.asarray(xps), np.asarray(xp1))
     np.testing.assert_array_equal(np.asarray(rs), np.asarray(r1))
+
+    # early exit (exit_tol > 0): stops at the FIRST sweep count whose
+    # residual satisfies the tolerance, bit-identical to the fixed-trip run
+    # of that length (same recurrence, while_loop just stops earlier)
+    tol = 1e-10
+    xpw, xfw, rw = schur.solve_full_mixed(*args, max_obs=8, iters=16,
+                                          exit_tol=tol)
+    assert float(rw) <= tol
+    for k in range(17):
+        xpk, xfk, rk = schur.solve_full_mixed(*args, max_obs=8, iters=k)
+        if float(rk) <= tol:
+            break
+    assert k < 16, "test system should converge before the cap"
+    np.testing.assert_array_equal(np.asarray(xpw), np.asarray(xpk))
+    np.testing.assert_array_equal(np.asarray(xfw), np.asarray(xfk))
+    np.testing.assert_array_equal(np.asarray(rw), np.asarray(rk))

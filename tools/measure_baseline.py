@@ -25,11 +25,13 @@ ORACLE = os.path.join(REPO, "tools", "oracle", "linearsfm_oracle")
 BMJ = os.path.join(REPO, "baseline_measured.json")
 
 
-def run_one(datatype, num, covis, seed=7, noise=0.005, keep_dir=None):
+def run_one(datatype, num, covis, seed=7, noise=0.005, keep_dir=None,
+            pattern="loop"):
     from synth import generate as gen
     kw = dict(covis_radius=6.0, covis_max=6) if covis else {}
     t0 = time.time()
-    maps, _, _ = gen.make_dataset(num, datatype, noise=noise, seed=seed, **kw)
+    maps, _, _ = gen.make_dataset(num, datatype, noise=noise, seed=seed,
+                                  pattern=pattern, **kw)
     d = keep_dir or tempfile.mkdtemp(prefix=f"base_{datatype}_{num}_")
     gen.write_dataset(maps, d)
     gen_s = time.time() - t0
@@ -53,6 +55,10 @@ def run_one(datatype, num, covis, seed=7, noise=0.005, keep_dir=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--covis", action="store_true")
+    ap.add_argument("--pattern", default="loop", choices=["loop", "grid"],
+                    help="'grid' = AP_*-style aerial lawnmower sweep "
+                         "(/root/reference/DataForC/AP_Vaihingen_C/*.txt:1); "
+                         "keys gain a _grid tag, matching bench.py")
     ap.add_argument("--types", default="stereo,mono")
     ap.add_argument("--sizes", default="")
     ap.add_argument("--keep-data", default=None)
@@ -71,7 +77,8 @@ def main():
         with open(BMJ) as fh:
             data = json.load(fh)
 
-    tag = "_covis" if args.covis else ""
+    tag = ("_covis" if args.covis else "") + \
+          ("_grid" if args.pattern == "grid" else "")
     for datatype in args.types.split(","):
         for num in sizes[datatype]:
             key = f"{datatype}{tag}_maps_per_s_{num}"
@@ -84,7 +91,8 @@ def main():
                 keep = os.path.join(args.keep_data, f"{datatype}{tag}_{num}")
                 os.makedirs(keep, exist_ok=True)
             try:
-                r = run_one(datatype, num, args.covis, keep_dir=keep)
+                r = run_one(datatype, num, args.covis, keep_dir=keep,
+                            pattern=args.pattern)
             except Exception as e:  # noqa: BLE001
                 print(f"  FAILED: {e}", flush=True)
                 continue
