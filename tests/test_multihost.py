@@ -115,10 +115,13 @@ def test_multihost_nc3500_plan(n_hosts):
         assert lo % (1 << MH._levels_of(hi - lo)) == 0
 
 
-def test_multihost_two_processes(tmp_path):
+@pytest.mark.parametrize("datatype,port", [
+    ("stereo", 12391),
+    # mono (7-DOF scale gauge) through the REAL transport, slow tier
+    pytest.param("mono", 12397, marks=pytest.mark.slow)])
+def test_multihost_two_processes(tmp_path, datatype, port):
     """REAL multi-process run: 2 CPU processes, jax.distributed + allgather."""
     script = os.path.join(REPO, "tools", "multihost_worker.py")
-    port = 12391
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -133,15 +136,15 @@ def test_multihost_two_processes(tmp_path):
                    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
         procs.append(subprocess.Popen(
             [sys.executable, script, f"127.0.0.1:{port}", "2", str(pid),
-             str(tmp_path)],
+             str(tmp_path), datatype],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     outs = [p.communicate(timeout=420)[0] for p in procs]
     for pid, p in enumerate(procs):
         assert p.returncode == 0, f"worker {pid} failed:\n{outs[pid][-3000:]}"
 
-    lms, _ = _dataset(8, "stereo")
-    ref = _poses_by_id(DeviceTreeSolver("stereo", method="direct").run(lms))
+    lms, _ = _dataset(8, datatype)
+    ref = _poses_by_id(DeviceTreeSolver(datatype, method="direct").run(lms))
     for pid in range(2):
         f = np.load(tmp_path / f"result_{pid}.npz")
         got = {int(i): p for i, p in zip(f["ids"], f["poses"])}

@@ -3,6 +3,7 @@ multi-host runs): jax.distributed bootstrap + host-local subtree + DCN
 allgather + replicated top levels.
 
 Usage: multihost_worker.py <coordinator> <num_processes> <process_id> <outdir>
+           [stereo|mono]
 """
 
 import os
@@ -13,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     coord, nproc, pid, outdir = sys.argv[1:5]
+    datatype = sys.argv[5] if len(sys.argv) > 5 else "stereo"
     nproc, pid = int(nproc), int(pid)
 
     import jax
@@ -26,10 +28,10 @@ def main():
     from synth import generate as gen
     from linearsfm_tpu.parallel import multihost as MH
 
-    maps, _, _ = gen.make_dataset(8, "stereo", noise=0.01, seed=3,
+    maps, _, _ = gen.make_dataset(8, datatype, noise=0.01, seed=3,
                                   covis_radius=3.0, covis_max=4)
     lms = [m.to_local_map() for m in maps]
-    final = MH.run_multihost(lms, "stereo",
+    final = MH.run_multihost(lms, datatype,
                              solver_kw=dict(method="direct"))
 
     ids = np.asarray(final.pose_ids)
