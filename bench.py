@@ -47,7 +47,10 @@ def log(msg):
 def build_solver():
     if EXECUTOR == "device":
         from linearsfm_tpu.core.device_tree import DeviceTreeSolver
-        return DeviceTreeSolver(DATATYPE, method=METHOD)
+        kw = {}
+        if "BENCH_EXIT_TOL" in os.environ:   # perf-bisection knob
+            kw["pcg_exit_tol"] = float(os.environ["BENCH_EXIT_TOL"])
+        return DeviceTreeSolver(DATATYPE, method=METHOD, **kw)
     if EXECUTOR == "dense":
         from linearsfm_tpu.core.dense_tree import DenseTreeSolver
         return DenseTreeSolver(DATATYPE, method=METHOD)

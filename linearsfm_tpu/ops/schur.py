@@ -193,6 +193,26 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int,
 
     Yb = jnp.einsum("kif,kfl->kil", W, Vinv[wf])
 
+    def sym_complete(D, urow):
+        """A = D + D^T with the double-counted diagonal blocks subtracted.
+
+        The correction is block-diagonal by construction, so it is
+        accumulated as a [M,6,6] segment-sum and subtracted on the block
+        diagonal — NOT densified into a second full [6M,6M] matrix (which
+        doubled the assembly's peak HBM at the 3499/4096-map roots: two
+        ~1.8 GB buffers plus their transposes). Symmetrized (0.5*(d+d^T))
+        so diagonal blocks match the jnp scatter path to the ulp even when
+        post-f32-congruence blocks are not bit-symmetric.
+        """
+        dmask = (ui == uj) & (urow >= 0)
+        diag = jax.ops.segment_sum(
+            jnp.where(dmask[:, None, None], U, 0.0),
+            jnp.where(dmask, ui, M), num_segments=M + 1)[:M]
+        corr = 0.5 * (diag + jnp.swapaxes(diag, 1, 2))
+        im = jnp.arange(M)
+        return ((D + D.T).reshape(M, 6, M, 6).at[im, :, im, :].add(-corr)
+                .reshape(6 * M, 6 * M))
+
     # NC3500/4096-root scale: two dense [6M, 3N] f32 matrices exceed HBM
     # (4.9 GB each at M=4100, N=49k). Chunk the FEATURE axis: densify and
     # multiply [6M, 3*Nc] stripes, accumulating S and the RHS term — peak
@@ -204,10 +224,7 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int,
         Nc = -(-N // nch)
         nch = -(-N // Nc)
         urow = jnp.where(jnp.any(U != 0, axis=(1, 2)), ui, -1)
-        D = densify_blocks(urow, uj, U, M, M, up)
-        diagU = jnp.where((ui == uj)[:, None, None], U, 0.0)
-        Dd = densify_blocks(urow, uj, diagU, M, M, up)
-        A = D + D.T - 0.5 * (Dd + Dd.T)
+        A = sym_complete(densify_blocks(urow, uj, U, M, M, up), urow)
         eFp = jnp.pad(eF, ((0, Nc * nch - N), (0, 0)))
         wvalid = jnp.any(W != 0, axis=(1, 2))
 
@@ -237,14 +254,7 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int,
         # stripe pruning).
         urow = jnp.where(jnp.any(U != 0, axis=(1, 2)), ui, -1)
         wrow = jnp.where(jnp.any(W != 0, axis=(1, 2)), wp, -1)
-        D = pk.blockcoo_to_dense(urow, uj, U, M, M)
-        diagU = jnp.where((ui == uj)[:, None, None], U, 0.0)
-        Dd = pk.blockcoo_to_dense(urow, uj, diagU, M, M)
-        # Diagonal blocks: D + D.T - Dd would leave them as U_d^T, which only
-        # equals the jnp path's U_d when the block is bit-symmetric (post-f32
-        # congruence it can differ by ulps). Symmetrize instead so both paths
-        # agree to the ulp and S is exactly symmetric.
-        A = D + D.T - 0.5 * (Dd + Dd.T)
+        A = sym_complete(pk.blockcoo_to_dense(urow, uj, U, M, M), urow)
         Wd = pk.blockcoo_to_dense(wrow, wf, W, M, N)
         Yd = pk.blockcoo_to_dense(wrow, wf, Yb, M, N)
     else:
