@@ -209,9 +209,17 @@ def _assemble_schur_dense(U, Uij, W, Wpf, Vinv, eP, eF, M: int,
             jnp.where(dmask[:, None, None], U, 0.0),
             jnp.where(dmask, ui, M), num_segments=M + 1)[:M]
         corr = 0.5 * (diag + jnp.swapaxes(diag, 1, 2))
-        im = jnp.arange(M)
-        return ((D + D.T).reshape(M, 6, M, 6).at[im, :, im, :].add(-corr)
-                .reshape(6 * M, 6 * M))
+        # Subtract on the block diagonal via a flat M*36-element scatter.
+        # NOT via reshape(M,6,M,6) + .at[im,:,im,:]: a trailing dim of 6
+        # gets tiled to 128 on TPU (T(8,128) layout), so the 5-D reshape
+        # materializes at ~21x the matrix size — 24 GB at a vmapped
+        # 2048-pose level (measured compile-time OOM).
+        im6 = jnp.arange(M)[:, None, None] * 6
+        r6 = jnp.arange(6)
+        rows = jnp.broadcast_to(im6 + r6[None, :, None], (M, 6, 6))
+        cols = jnp.broadcast_to(im6 + r6[None, None, :], (M, 6, 6))
+        return (D + D.T).at[rows.reshape(-1), cols.reshape(-1)].add(
+            -corr.reshape(-1))
 
     # NC3500/4096-root scale: two dense [6M, 3N] f32 matrices exceed HBM
     # (4.9 GB each at M=4100, N=49k). Chunk the FEATURE axis: densify and
