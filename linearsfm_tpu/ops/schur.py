@@ -88,9 +88,12 @@ _SCHUR_CHUNK_BLOCKS = 1 << 16
 _DENSE_SCHUR_DIM = 1024
 
 # Per-matrix byte budget for the dense [6M, 3N] W/Y layouts; above this the
-# dense assembly runs feature-chunked (see _assemble_schur_dense). 1.6 GB
-# keeps the 2048-map bench root single-chunk and the 3499/4096 roots in HBM.
-_DENSE_W_BYTES = 3 << 29
+# dense assembly runs feature-chunked (see _assemble_schur_dense), holding
+# the chunked body's live set (Wd + Yd stripes) to ~2x this. 512 MB: the
+# mono 3,499-map root planned at 16.11 G of 15.75 G HBM with 1.5 GB
+# stripes (measured r5 compile OOM); the 2048 root now runs 3-chunk — same
+# FLOPs, the product just streams in more MXU-width slabs.
+_DENSE_W_BYTES = 1 << 29
 
 
 def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
