@@ -323,7 +323,11 @@ class DeviceTreeSolver:
         mode = self._level_mode(lp, cfg)
         if self.mesh is None:
             body = self._build_body(lp.count, lp.caps_out, lp.regauge, cfg)
-            self._progs[key] = jax.jit(body)
+            # Donate the level input: x is consumed (run() rebinds it), and
+            # retiring the stacked buffer inside the program frees real HBM
+            # at the 3499-map roots where the plan runs within ~0.4 GB of
+            # the chip (measured r5).
+            self._progs[key] = jax.jit(body, donate_argnums=0)
             return self._progs[key]
 
         # Every program takes REPLICATED inputs and emits REPLICATED outputs:

@@ -93,7 +93,10 @@ _DENSE_SCHUR_DIM = 1024
 # mono 3,499-map root planned at 16.11 G of 15.75 G HBM with 1.5 GB
 # stripes (measured r5 compile OOM); the 2048 root now runs 3-chunk — same
 # FLOPs, the product just streams in more MXU-width slabs.
-_DENSE_W_BYTES = 1 << 29
+# (env LINEARSFM_DENSE_W_BYTES overrides — runtime headroom on the axon
+# worker varies with resident executables + memoized results.)
+_DENSE_W_BYTES = int(__import__("os").environ.get(
+    "LINEARSFM_DENSE_W_BYTES", 1 << 29))
 
 
 def group_by_feature(Wpf, N: int, max_obs: int, entry_valid=None):
@@ -437,8 +440,11 @@ def solve_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask, *,
     L = jnp.linalg.cholesky(Ss)
 
     def sch32(rhs32):
+        # trans=1 on the SAME L buffer — `solve_triangular(L.T, ...)` would
+        # materialize a transposed copy (1.8 GB at the 3499-map roots).
         y = jax.scipy.linalg.solve_triangular(L, rhs32 * dsc, lower=True)
-        return dsc * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        return dsc * jax.scipy.linalg.solve_triangular(L, y, trans=1,
+                                                       lower=True)
 
     freeP = (~fixed_mask).reshape(M, 6)
     if fixc is not None:

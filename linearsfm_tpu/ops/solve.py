@@ -39,7 +39,7 @@ def cholesky_solve(S, E):
     """Plain dense Cholesky solve in the input dtype."""
     L = jnp.linalg.cholesky(S)
     y = jax.scipy.linalg.solve_triangular(L, E, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return jax.scipy.linalg.solve_triangular(L, y, trans=1, lower=True)
 
 
 def cholesky_solve_refine(S, E, iters: int = 3):
@@ -54,7 +54,7 @@ def cholesky_solve_refine(S, E, iters: int = 3):
 
     def solve32(rhs):
         y = jax.scipy.linalg.solve_triangular(L, rhs.astype(jnp.float32), lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        return jax.scipy.linalg.solve_triangular(L, y, trans=1, lower=True)
 
     x = solve32(E).astype(S.dtype)
 

@@ -205,8 +205,8 @@ def sharded_full_mixed(U, Uij, W, Wpf, V, eP, eF, M: int, fixed_mask,
 
         def sch32(rhs32):
             y = jax.scipy.linalg.solve_triangular(L, rhs32 * dsc, lower=True)
-            return dsc * jax.scipy.linalg.solve_triangular(L.T, y,
-                                                           lower=False)
+            return dsc * jax.scipy.linalg.solve_triangular(L, y, trans=1,
+                                                           lower=True)
 
         # ---- f64 masked block lists for the exact matvec -------------------
         U64 = jnp.where(own_u[:, None, None], U, 0.0)
